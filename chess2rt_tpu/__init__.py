@@ -1,0 +1,29 @@
+"""chess2rt_tpu — a TPU-native differentiable Whitted-style ray-tracing framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the Chess2RT
+reference renderer (a CPU ray tracer written in D):
+
+- Scene model: plane / sphere / cube primitives, CSG boolean combinators,
+  checker / procedural / bitmap textures, Lambert / Phong shading, point
+  lights, pinhole camera with DoF + stereoscopic rendering.
+- Scene files: the reference's SDLang and JSON schemas are parsed verbatim
+  (reference: source/rt/scene_loader.d).
+- Rendering: the reference's per-pixel recursive trace is re-designed as a
+  fixed-depth wavefront pipeline over dense ray batches under one `jit`,
+  differentiable end-to-end w.r.t. every continuous scene parameter.
+- Scaling: pixel tiles are sharded over a `jax.sharding.Mesh`; scene params
+  are replicated and gradients all-reduced with `psum` over ICI.
+
+Layout:
+    utils/     vec3 math, color/sRGB, RNG helpers
+    imageio/   BMP codec (byte-compatible with the reference writer)
+    scene/     SDLang + JSON scene loading (the compatibility surface)
+    models/    typed scene object model + packed differentiable pytrees
+    ops/       device kernels: ray-gen, intersect, CSG, textures, shading
+    render/    the wavefront render pipeline + debug single-pixel trace
+    parallel/  mesh construction, sharded rendering, distributed init
+    diff/      gradient utilities + inverse-rendering optimisation
+    oracle/    slow, trusted NumPy float64 reference implementation
+"""
+
+__version__ = "0.1.0"

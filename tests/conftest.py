@@ -1,0 +1,31 @@
+"""Test harness configuration.
+
+Unit tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (the same trick real JAX frameworks use for
+"multi-node without a cluster" — see SURVEY.md §4).  The real-TPU benchmark
+path is exercised separately by bench.py.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize forces jax_platforms="axon,cpu" at interpreter
+# startup; override it back to CPU before any backend initializes so unit
+# tests never touch the TPU tunnel.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib
+
+import pytest
+
+REFERENCE_DATA = pathlib.Path("/root/reference/data")
+
+
+@pytest.fixture(scope="session")
+def data_dir() -> pathlib.Path:
+    return REFERENCE_DATA

@@ -1,0 +1,189 @@
+"""BMP codec tests.
+
+The two byte-exact fixtures are the Wikipedia reference BMPs that the D
+codec embeds in its inline unittests (imageio/bmp.d:446-611).  They are
+data, not code, and are transcribed verbatim.
+"""
+
+import numpy as np
+import pytest
+
+from chess2rt_tpu.imageio import load_bmp, save_bmp, load_bmp_file
+from chess2rt_tpu.utils.color import srgb_u8
+
+# Example 1 from http://en.wikipedia.org/wiki/BMP_file_format (2x2, 24 bpp)
+WIKI_BMP_1 = bytes(
+    [
+        0x42, 0x4D,
+        0x46, 0x00, 0x00, 0x00,
+        0x00, 0x00,
+        0x00, 0x00,
+        0x36, 0x00, 0x00, 0x00,
+        # DIB header (BITMAPINFOHEADER)
+        0x28, 0x00, 0x00, 0x00,
+        0x02, 0x00, 0x00, 0x00,
+        0x02, 0x00, 0x00, 0x00,
+        0x01, 0x00,
+        0x18, 0x00,
+        0x00, 0x00, 0x00, 0x00,
+        0x10, 0x00, 0x00, 0x00,
+        0x13, 0x0B, 0x00, 0x00,
+        0x13, 0x0B, 0x00, 0x00,
+        0x00, 0x00, 0x00, 0x00,
+        0x00, 0x00, 0x00, 0x00,
+        # pixel array
+        0x00, 0x00, 0xFF,
+        0xFF, 0xFF, 0xFF,
+        0x00, 0x00,
+        0xFF, 0x00, 0x00,
+        0x00, 0xFF, 0x00,
+        0x00, 0x00,
+    ]
+)
+
+# Example 2 (4x2, 32 bpp, V4 header with bitfields)
+WIKI_BMP_2 = bytes(
+    [
+        0x42, 0x4D,
+        0x9A, 0x00, 0x00, 0x00,
+        0x00, 0x00,
+        0x00, 0x00,
+        0x7A, 0x00, 0x00, 0x00,
+        # DIB header (BITMAPV4INFOHEADER)
+        0x6C, 0x00, 0x00, 0x00,
+        0x04, 0x00, 0x00, 0x00,
+        0x02, 0x00, 0x00, 0x00,
+        0x01, 0x00,
+        0x20, 0x00,
+        0x03, 0x00, 0x00, 0x00,
+        0x20, 0x00, 0x00, 0x00,
+        0x13, 0x0B, 0x00, 0x00,
+        0x13, 0x0B, 0x00, 0x00,
+        0x00, 0x00, 0x00, 0x00,
+        0x00, 0x00, 0x00, 0x00,
+        0x00, 0x00, 0xFF, 0x00,
+        0x00, 0xFF, 0x00, 0x00,
+        0xFF, 0x00, 0x00, 0x00,
+        0x00, 0x00, 0x00, 0xFF,
+        0x20, 0x6E, 0x69, 0x57,
+        # CIEXYZTRIPLE (unused)
+        *([0x00] * 36),
+        # gamma r, g, b
+        *([0x00] * 12),
+        # pixel array
+        0xFF, 0x00, 0x00, 0x7F,
+        0x00, 0xFF, 0x00, 0x7F,
+        0x00, 0x00, 0xFF, 0x7F,
+        0xFF, 0xFF, 0xFF, 0x7F,
+        0xFF, 0x00, 0x00, 0xFF,
+        0x00, 0xFF, 0x00, 0xFF,
+        0x00, 0x00, 0xFF, 0xFF,
+        0xFF, 0xFF, 0xFF, 0xFF,
+    ]
+)
+
+
+def _pix(b, g, r, a=0):
+    return np.uint32(b | (g << 8) | (r << 16) | (a << 24))
+
+
+def test_wiki_example1_24bpp():
+    img = load_bmp(WIKI_BMP_1)
+    assert img.file_size == 70
+    assert img.offset_to_pixel_array == 54
+    d = img.dib
+    assert (d.version, d.width, d.height, d.color_planes, d.bpp) == (40, 2, 2, 1, 24)
+    assert d.compression == 0 and d.size_of_pixel_array == 16
+    assert d.ppm_x == 2835 and d.ppm_y == 2835
+    assert d.colors_used == 0 and d.colors_important == 0
+    # pixels[x, y] assertions from bmp.d:503-506 (y=0 is the top image row)
+    assert img.pixels_u32[0, 0] == _pix(255, 0, 0)
+    assert img.pixels_u32[0, 1] == _pix(0, 255, 0)
+    assert img.pixels_u32[1, 0] == _pix(0, 0, 255)
+    assert img.pixels_u32[1, 1] == _pix(255, 255, 255)
+
+
+def test_wiki_example2_32bpp_v4():
+    img = load_bmp(WIKI_BMP_2)
+    assert img.file_size == 154
+    assert img.offset_to_pixel_array == 122
+    d = img.dib
+    assert (d.version, d.width, d.height, d.color_planes, d.bpp) == (108, 4, 2, 1, 32)
+    assert d.compression == 3  # BI_BITFIELDS
+    assert d.size_of_pixel_array == 32
+    assert d.bit_masks == (0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
+    assert d.color_space_type == b" niW"  # LCS_WINDOWS_COLOR_SPACE, little-endian "Win "
+    assert d.gamma == (0, 0, 0)
+    assert img.pixels_u32[0, 0] == _pix(255, 0, 0, 255)
+    assert img.pixels_u32[0, 1] == _pix(0, 255, 0, 255)
+    assert img.pixels_u32[0, 2] == _pix(0, 0, 255, 255)
+    assert img.pixels_u32[0, 3] == _pix(255, 255, 255, 255)
+    assert img.pixels_u32[1, 0] == _pix(255, 0, 0, 127)
+    assert img.pixels_u32[1, 1] == _pix(0, 255, 0, 127)
+    assert img.pixels_u32[1, 2] == _pix(0, 0, 255, 127)
+    assert img.pixels_u32[1, 3] == _pix(255, 255, 255, 127)
+
+
+def test_save_header_layout_and_roundtrip():
+    rng = np.random.default_rng(0)
+    rgb = rng.random((8, 4, 3), dtype=np.float32)
+    data = save_bmp(rgb)
+    assert data[:2] == b"BM"
+    assert len(data) == 54 + 8 * 4 * 3
+    img = load_bmp(data)
+    assert img.dib.bpp == 24 and img.width == 4 and img.height == 8
+    assert img.dib.ppm_x == 2835
+    # round-trip: decoded bytes match the sRGB-compressed source
+    expect = np.stack([srgb_u8(rgb[..., c]) for c in range(3)], axis=-1)
+    got_u8 = np.stack(
+        [
+            (img.pixels_u32 >> 16) & 0xFF,
+            (img.pixels_u32 >> 8) & 0xFF,
+            img.pixels_u32 & 0xFF,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(got_u8, expect)
+
+
+def test_save_matches_wiki_example1_bytes():
+    """Encoding the wiki-example pixels reproduces its header bytes exactly.
+
+    Pixel bytes differ because the reference writer passes floats through the
+    sRGB transform; header layout (incl. the no-padding fileSize quirk for
+    width 2 -> spec'd 16-byte array vs reference 12) is checked field-wise.
+    """
+    rgb = np.zeros((2, 2, 3), np.float32)
+    data = save_bmp(rgb)
+    # offset & header sizes identical to the reference writer's layout
+    assert data[10:14] == bytes([0x36, 0, 0, 0])
+    assert data[14:18] == bytes([0x28, 0, 0, 0])
+    # fileSize excludes padding: 54 + 2*2*3 = 66
+    assert int.from_bytes(data[2:6], "little") == 66
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["floor.bmp", "world.bmp", "texture/zaphod.bmp"],
+)
+def test_load_reference_assets(data_dir, name):
+    img = load_bmp_file(str(data_dir / name))
+    assert img.width > 0 and img.height > 0
+    rgb = img.to_float_rgb()
+    assert rgb.shape == (img.height, img.width, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+
+
+def test_load_palettized_fixtures(data_dir):
+    import pathlib
+
+    fixtures = sorted(pathlib.Path(data_dir / "bmp_test").glob("*.bmp"))
+    loaded = 0
+    for f in fixtures:
+        try:
+            img = load_bmp_file(str(f))
+        except ValueError:
+            continue  # 16-bpp fixtures are unsupported, matching the reference
+        assert img.width > 0 and img.height > 0
+        loaded += 1
+    assert loaded >= 1
