@@ -1,0 +1,210 @@
+"""Minimal SDLang parser covering the reference's scene-file dialect.
+
+The reference uses the sdlang-d package; the scene files under data/ exercise
+tags, literal values (strings / numbers / booleans), child blocks, and both
+`//` and `/* */` comments.  This parser supports exactly that subset plus
+`#` / `--` line comments, `;` tag separators and `key=value` attributes from
+the SDLang spec, which keeps every reference scene loadable while staying
+dependency-free.
+
+Grammar produced: a tree of `SdlTag(name, values, attributes, children)`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..exceptions import InvalidSceneException
+
+
+@dataclass
+class SdlTag:
+    name: str
+    values: list = field(default_factory=list)
+    attributes: dict = field(default_factory=dict)
+    children: list = field(default_factory=list)
+
+    def child(self, name: str):
+        for c in self.children:
+            if c.name == name:
+                return c
+        return None
+
+    def has_child(self, name: str) -> bool:
+        return self.child(name) is not None
+
+
+# --------------------------------------------------------------------------
+# Tokenizer
+# --------------------------------------------------------------------------
+
+_PUNCT = {"{", "}", ";", "=", "\n"}
+
+
+def _tokenize(src: str):
+    tokens = []  # (kind, value) with kind in {punct, ident, string, number, bool, null}
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in " \t\r":
+            i += 1
+            continue
+        if c == "\\" and i + 1 < n and src[i + 1] == "\n":  # line continuation
+            i += 2
+            continue
+        if c == "\n":
+            tokens.append(("punct", "\n"))
+            i += 1
+            continue
+        if c == "#" or src.startswith("//", i) or src.startswith("--", i):
+            while i < n and src[i] != "\n":
+                i += 1
+            continue
+        if src.startswith("/*", i):
+            end = src.find("*/", i + 2)
+            if end == -1:
+                raise InvalidSceneException("Unterminated block comment in SDL scene")
+            i = end + 2
+            continue
+        if c in "{};=":
+            tokens.append(("punct", c))
+            i += 1
+            continue
+        if c == '"':
+            j = i + 1
+            out = []
+            while j < n and src[j] != '"':
+                if src[j] == "\\" and j + 1 < n:
+                    esc = src[j + 1]
+                    out.append({"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}.get(esc, esc))
+                    j += 2
+                else:
+                    out.append(src[j])
+                    j += 1
+            if j >= n:
+                raise InvalidSceneException("Unterminated string in SDL scene")
+            tokens.append(("string", "".join(out)))
+            i = j + 1
+            continue
+        if c == "`":
+            end = src.find("`", i + 1)
+            if end == -1:
+                raise InvalidSceneException("Unterminated raw string in SDL scene")
+            tokens.append(("string", src[i + 1 : end]))
+            i = end + 1
+            continue
+        if c.isdigit() or (c in "+-." and i + 1 < n and (src[i + 1].isdigit() or src[i + 1] == ".")):
+            j = i + 1
+            while j < n and (src[j].isdigit() or src[j] in ".eE+-_lLfFdD"):
+                # stop a trailing +/- that isn't an exponent sign
+                if src[j] in "+-" and src[j - 1] not in "eE":
+                    break
+                j += 1
+            text = src[i:j].rstrip("lLfFdD").replace("_", "")
+            try:
+                val = int(text) if ("." not in text and "e" not in text and "E" not in text) else float(text)
+            except ValueError as e:
+                raise InvalidSceneException(f"Bad number literal {src[i:j]!r}") from e
+            tokens.append(("number", val))
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (src[j].isalnum() or src[j] in "_.-:$"):
+                j += 1
+            word = src[i:j]
+            if word == "true" or word == "on":
+                tokens.append(("bool", True))
+            elif word == "false" or word == "off":
+                tokens.append(("bool", False))
+            elif word == "null":
+                tokens.append(("null", None))
+            else:
+                tokens.append(("ident", word))
+            i = j
+            continue
+        raise InvalidSceneException(f"Unexpected character {c!r} in SDL scene")
+    tokens.append(("punct", "\n"))
+    return tokens
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+
+
+def parse_sdl(src: str) -> SdlTag:
+    """Parse SDL source; returns a synthetic root tag whose children are the
+    top-level tags (the reference grabs `tags[0]`, i.e. the `Scene` tag)."""
+    tokens = _tokenize(src)
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]] if pos[0] < len(tokens) else ("eof", None)
+
+    def advance():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def skip_newlines():
+        while peek() == ("punct", "\n") or peek() == ("punct", ";"):
+            advance()
+
+    def parse_tags(depth):
+        out = []
+        while True:
+            skip_newlines()
+            kind, val = peek()
+            if kind == "eof":
+                if depth != 0:
+                    raise InvalidSceneException("Unexpected end of SDL scene (missing '}')")
+                return out
+            if (kind, val) == ("punct", "}"):
+                if depth == 0:
+                    raise InvalidSceneException("Unbalanced '}' in SDL scene")
+                return out
+            out.append(parse_tag(depth))
+
+    def parse_tag(depth):
+        kind, val = advance()
+        if kind == "ident":
+            tag = SdlTag(name=val)
+        else:
+            # anonymous tag: the token is its first value
+            tag = SdlTag(name="")
+            tag.values.append(val)
+        while True:
+            kind, val = peek()
+            if (kind, val) in (("punct", "\n"), ("punct", ";")):
+                advance()
+                return tag
+            if (kind, val) == ("punct", "{"):
+                advance()
+                tag.children = parse_tags(depth + 1)
+                skip_newlines()
+                k2, v2 = advance()
+                if (k2, v2) != ("punct", "}"):
+                    raise InvalidSceneException("Expected '}' closing SDL tag block")
+                return tag
+            if (kind, val) == ("punct", "}"):
+                return tag
+            if kind == "eof":
+                return tag
+            if kind == "ident":
+                # lookahead for attribute `ident=value`
+                if pos[0] + 1 < len(tokens) and tokens[pos[0] + 1] == ("punct", "="):
+                    advance()
+                    advance()
+                    vkind, vval = advance()
+                    if vkind == "punct":
+                        raise InvalidSceneException("Expected a value after '=' in SDL attribute")
+                    tag.attributes[val] = vval
+                    continue
+                raise InvalidSceneException(f"Unexpected identifier {val!r} inside SDL tag values")
+            advance()
+            tag.values.append(val)
+
+    root = SdlTag(name="")
+    root.children = parse_tags(0)
+    return root

@@ -1,0 +1,153 @@
+"""Scene loader tests: all five reference scenes, schema semantics, quirks."""
+
+import numpy as np
+import pytest
+
+from chess2rt_tpu.exceptions import (
+    EntityWithDuplicateName,
+    InvalidSceneException,
+    SceneNotFoundException,
+)
+from chess2rt_tpu.models import CsgDiff, Cube, Lambert, Phong, Plane, Sphere
+from chess2rt_tpu.scene import parse_scene_from_file, parse_scene_from_string
+from chess2rt_tpu.scene.sdlang import parse_sdl
+
+
+def test_sdl_parser_basics():
+    doc = parse_sdl(
+        """
+        // comment
+        Scene {
+            Name "x"  /* inline */
+            Tag 1 2.5 -3 true "s"
+            Child "named" { y -0.01 }
+        }
+        """
+    )
+    scene = doc.children[0]
+    assert scene.name == "Scene"
+    assert scene.child("Name").values == ["x"]
+    assert scene.child("Tag").values == [1, 2.5, -3, True, "s"]
+    assert scene.child("Child").values == ["named"]
+    assert scene.child("Child").child("y").values == [-0.01]
+
+
+def test_lecture4_sdl(data_dir):
+    s = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
+    assert s.name == "lecture4"
+    assert (s.settings.frameWidth, s.settings.frameHeight) == (640, 480)
+    assert s.settings.ambientLightColor == (0.0, 0.0, 0.0)
+    # defaults survive: AA on, prepass on, maxTraceDepth 4
+    assert s.settings.AAEnabled and s.settings.prepassEnabled
+    assert s.settings.maxTraceDepth == 4
+    c = s.camera
+    assert c.pos == (0.0, 165.0, 0.0) and c.pitch == -30.0 and c.fov == 90.0
+    # `aspect` scene key is ignored; derived from frame size (camera.d:254)
+    assert abs(c.aspect - 640 / 480) < 1e-12
+    (light,) = s.lights
+    assert light.pos == (-30.0, 100.0, 250.0) and light.power == 50000.0
+    (geo,) = s.geometries
+    assert isinstance(geo, Plane) and geo.y == 2.0
+    (tex,) = s.textures
+    assert tex.color2 == (0.0, 0.5, 1.0) and tex.size == 5.0
+    (sh,) = s.shaders
+    assert isinstance(sh, Lambert) and sh.texture is tex
+    (node,) = s.nodes
+    assert node.geometry is geo and node.shader is sh and node.bumpmap is None
+
+
+def test_lecture4_json_equivalent(data_dir):
+    sdl = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
+    js = parse_scene_from_file(str(data_dir / "lecture4.json"))
+    assert js.camera.pos == sdl.camera.pos
+    assert js.lights[0].pos == sdl.lights[0].pos
+    assert js.textures[0].color2 == sdl.textures[0].color2
+    # the json variant disables AA + prepass (data/lecture4.json)
+    assert not js.settings.AAEnabled and not js.settings.prepassEnabled
+    assert js.settings.interactive
+
+
+def test_proc_texture_scene(data_dir):
+    s = parse_scene_from_file(str(data_dir / "lecture4-proc-texture.sdl"))
+    (tex,) = s.textures
+    assert tex.freqU == (0.01, 0.25, 0.01)
+    assert tex.colorU == ((0.7, 0.1, 0.2), (0.3, 0.4, 0.9), (0.5, 0.8, 0.1))
+    assert tex.colorV[0] == (0.5, 0.8, 0.1)
+
+
+def test_lecture5_csg_and_transforms(data_dir):
+    s = parse_scene_from_file(str(data_dir / "lecture5.sdl"))
+    named = s.named["geometries"]
+    diff = named["diff"]
+    assert isinstance(diff, CsgDiff)
+    assert isinstance(diff.left, Cube) and diff.left.name == "cube"
+    assert isinstance(diff.right, Sphere) and diff.right.R == 70.0
+    phong = s.named["shaders"]["csg_shader"]
+    assert isinstance(phong, Phong) and phong.exponent == 60.0 and phong.strength == 1.0
+    s1 = s.named["nodes"]["S1"]
+    np.testing.assert_allclose(s1.transform.offset, [100, 15, 256])
+    np.testing.assert_allclose(s1.transform.matrix, np.eye(3))
+    # bitmap textures decoded + gamma-linearized at load
+    bmp = s.named["textures"]["bmp"]
+    assert bmp.data.shape == (256, 256, 3) and bmp.scaling == 0.005
+
+
+def test_zaphod_scale_and_dof(data_dir):
+    s = parse_scene_from_file(str(data_dir / "zaphod.sdl"))
+    assert s.camera.dof and s.camera.focalPlaneDist == 25.29
+    assert s.camera.discMultiplier == 10.0  # fNumber defaults to 1
+    node = s.nodes[0]
+    np.testing.assert_allclose(node.transform.matrix, np.diag([10.0, 10.0, 10.0]))
+    np.testing.assert_allclose(node.transform.inverse, np.diag([0.1, 0.1, 0.1]))
+
+
+def test_rotate_maps_to_scale_quirk():
+    sdl = """
+    Scene {
+        Geometries { Sphere { name "s"; R 1 } }
+        Shaders { Lambert { name "m" } }
+        Nodes { Node { name "n"; geometry "s"; shader "m"; rotate 2 3 4 } }
+    }
+    """
+    s = parse_scene_from_string(sdl, "sdl")
+    np.testing.assert_allclose(s.nodes[0].transform.matrix, np.diag([2.0, 3.0, 4.0]))
+    s_fixed = parse_scene_from_string(sdl, "sdl", fix_reference_bugs=True)
+    m = s_fixed.nodes[0].transform.matrix
+    assert not np.allclose(m, np.diag([2.0, 3.0, 4.0]))
+    np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-12)  # proper rotation
+
+
+def test_duplicate_names_raise():
+    sdl = """
+    Scene {
+        Geometries { Sphere { name "s"; R 1 } Sphere { name "s"; R 2 } }
+    }
+    """
+    with pytest.raises(EntityWithDuplicateName):
+        parse_scene_from_string(sdl, "sdl")
+
+
+def test_unknown_type_and_missing_file():
+    with pytest.raises(InvalidSceneException):
+        parse_scene_from_string('Scene { Geometries { Torus { name "t" } } }', "sdl")
+    with pytest.raises(SceneNotFoundException):
+        parse_scene_from_file("/nonexistent/scene.sdl")
+    with pytest.raises(InvalidSceneException):
+        parse_scene_from_file("/nonexistent/scene.txt")
+    with pytest.raises(InvalidSceneException):
+        parse_scene_from_string("Scene { Unterminated", "sdl")
+
+
+def test_unknown_texture_ref_is_none():
+    # shader.d:137-147: texture resolution is silently optional
+    s = parse_scene_from_string(
+        'Scene { Shaders { Lambert { name "m"; texture "nope" } } }', "sdl"
+    )
+    assert s.shaders[0].texture is None
+
+
+def test_pretty_print_lists_everything(data_dir):
+    s = parse_scene_from_file(str(data_dir / "lecture5.sdl"))
+    out = s.pretty()
+    for name in ("light1", "diff", "csg_shader", "S3", "GlobalSettings"):
+        assert name in out
