@@ -1,0 +1,345 @@
+"""ScenePacked: the device-side differentiable scene representation.
+
+The reference's object graph (Node -> Geometry/Shader/Texture, scene.d:38-96)
+becomes two things:
+
+* ``ScenePacked`` — a registered JAX pytree of SoA arrays.  Every float in it
+  is a differentiable leaf: geometry parameters, node transforms, light and
+  material tables, camera parameters, texture params and bitmap texels.
+* ``SceneStatic`` — hashable static structure: per-node CSG expression trees,
+  shader/texture kinds, frame size and engine knobs.  This is what the
+  render functions close over / receive as a static argument, so XLA traces
+  exactly the code the scene needs (absent texture kinds cost nothing).
+
+Geometry expressions (``GeomExpr``) are nested tuples:
+    ("plane", i) | ("sphere", i) | ("cube", i)
+    ("csg", op, left_expr, right_expr)        op in {"union","inter","diff"}
+with ``i`` indexing the per-kind parameter tables.
+
+Name->index maps stay host-side (SURVEY.md §7.0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import vec
+from . import types as T
+
+# shader kinds
+LAMBERT, PHONG, REFLECTION, REFRACTION = 0, 1, 2, 3
+# texture kinds
+TEX_NONE, TEX_CHECKER, TEX_PROC2, TEX_BITMAP = 0, 1, 2, 3
+
+_SHADER_KIND = {T.Lambert: LAMBERT, T.Phong: PHONG, T.Reflection: REFLECTION, T.Refraction: REFRACTION}
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class CameraPacked:
+    """Differentiable camera parameters (camera.d:29-53)."""
+
+    pos: Any
+    yaw: Any
+    pitch: Any
+    roll: Any
+    fov: Any
+    focal_plane_dist: Any
+    disc_multiplier: Any
+    stereo_separation: Any
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ScenePacked:
+    """SoA parameter tables.  Empty kinds hold shape-(0, ...) arrays."""
+
+    # leaf geometry tables
+    plane_y: Any
+    plane_limit: Any
+    sphere_center: Any  # [Ns, 3]
+    sphere_r: Any
+    cube_center: Any  # [Nc, 3]
+    cube_side: Any
+
+    # node transforms (node.d, transform.d); inverses are derived in-graph
+    node_matrix: Any  # [Nn, 3, 3]
+    node_offset: Any  # [Nn, 3]
+
+    # lights (light.d:52-89)
+    light_pos: Any  # [L, 3]
+    light_color: Any  # [L, 3]
+    light_power: Any  # [L]
+
+    # material table indexed by node id
+    mat_color: Any  # [Nn, 3]
+    mat_exponent: Any  # [Nn]
+    mat_strength: Any  # [Nn]
+    mat_ior: Any  # [Nn]
+
+    # texture parameter tables indexed by node id (zeros where unused)
+    checker_c1: Any  # [Nn, 3]
+    checker_c2: Any  # [Nn, 3]
+    checker_size: Any  # [Nn]
+    proc2_color_u: Any  # [Nn, 3, 3]
+    proc2_color_v: Any  # [Nn, 3, 3]
+    proc2_freq_u: Any  # [Nn, 3]
+    proc2_freq_v: Any  # [Nn, 3]
+    bitmap_scaling: Any  # [Nn]
+
+    # stacked bitmap atlas [Tb, Hmax, Wmax, 3] (linear float) + true sizes
+    bitmap_atlas: Any
+    bitmap_hw: Any  # [Tb, 2] float (h, w) — float so UV scaling stays traced
+
+    ambient: Any  # [3]
+    camera: CameraPacked
+
+    @property
+    def dtype(self):
+        return self.node_matrix.dtype
+
+
+@dataclass(frozen=True)
+class NodeStatic:
+    geom: Tuple  # GeomExpr
+    shader_kind: int
+    tex_kind: int
+    bitmap_idx: int  # row in the atlas (-1 if not a bitmap texture)
+    identity_transform: bool
+    offset_only: bool
+
+
+@dataclass(frozen=True)
+class SceneStatic:
+    """Hashable structure + engine knobs (global_settings.d:5-78)."""
+
+    nodes: Tuple[NodeStatic, ...]
+    n_lights: int
+    width: int
+    height: int
+    max_trace_depth: int = 4
+    aa_enabled: bool = True
+    dof: bool = False
+    dof_samples: int = 25
+    gi_enabled: bool = False
+    paths_per_pixel: int = 40
+    stereo: bool = False
+    # extensions / quirk switches (documented in oracle/renderer.py)
+    gi_multiplier_quirk: bool = True
+    gi_point_light_direct: bool = False
+
+    @property
+    def tex_kinds_present(self):
+        return frozenset(n.tex_kind for n in self.nodes)
+
+    @property
+    def shader_kinds_present(self):
+        return frozenset(n.shader_kind for n in self.nodes)
+
+    @property
+    def inf_dist(self) -> float:
+        return 1e30  # f32-safe stand-in for the reference's 1e99 seed
+
+
+def max_hits(expr: Tuple) -> int:
+    """Static per-ray hit capacity of a geometry expression (SURVEY.md §7.2)."""
+    if expr[0] == "plane":
+        return 1
+    if expr[0] in ("sphere", "cube"):
+        return 2
+    return max_hits(expr[2]) + max_hits(expr[3])
+
+
+# --------------------------------------------------------------------------
+# Packing
+# --------------------------------------------------------------------------
+
+
+def _geom_expr(geom: T.Geometry, tables) -> Tuple:
+    if isinstance(geom, T.Plane):
+        key = id(geom)
+        if key not in tables["geom_ids"]:
+            tables["geom_ids"][key] = len(tables["plane_y"])
+            tables["plane_y"].append(geom.y)
+            tables["plane_limit"].append(geom.limit if np.isfinite(geom.limit) else 1e30)
+        return ("plane", tables["geom_ids"][key])
+    if isinstance(geom, T.Sphere):
+        key = id(geom)
+        if key not in tables["geom_ids"]:
+            tables["geom_ids"][key] = len(tables["sphere_r"])
+            tables["sphere_center"].append(geom.center)
+            tables["sphere_r"].append(geom.R)
+        return ("sphere", tables["geom_ids"][key])
+    if isinstance(geom, T.Cube):
+        key = id(geom)
+        if key not in tables["geom_ids"]:
+            tables["geom_ids"][key] = len(tables["cube_side"])
+            tables["cube_center"].append(geom.center)
+            tables["cube_side"].append(geom.side)
+        return ("cube", tables["geom_ids"][key])
+    if isinstance(geom, T.CsgOp):
+        left = _geom_expr(geom.left, tables)
+        right = _geom_expr(geom.right, tables)
+        return ("csg", geom.op, left, right)
+    raise TypeError(type(geom))
+
+
+def pack_scene(scene: T.Scene, dtype=jnp.float32) -> Tuple[ScenePacked, SceneStatic]:
+    """Scene (host object model) -> (ScenePacked, SceneStatic)."""
+    tables = {
+        "geom_ids": {},
+        "plane_y": [],
+        "plane_limit": [],
+        "sphere_center": [],
+        "sphere_r": [],
+        "cube_center": [],
+        "cube_side": [],
+    }
+
+    nn = len(scene.nodes)
+    node_static = []
+    node_matrix = np.zeros((nn, 3, 3))
+    node_offset = np.zeros((nn, 3))
+    mat_color = np.ones((nn, 3), dtype=np.float32)
+    mat_exponent = np.ones(nn, dtype=np.float32)
+    mat_strength = np.ones(nn, dtype=np.float32)
+    mat_ior = np.full(nn, 1.33, dtype=np.float32)
+    checker_c1 = np.zeros((nn, 3), dtype=np.float32)
+    checker_c2 = np.zeros((nn, 3), dtype=np.float32)
+    checker_size = np.ones(nn, dtype=np.float32)
+    proc2_cu = np.zeros((nn, 3, 3), dtype=np.float32)
+    proc2_cv = np.zeros((nn, 3, 3), dtype=np.float32)
+    proc2_fu = np.zeros((nn, 3), dtype=np.float32)
+    proc2_fv = np.zeros((nn, 3), dtype=np.float32)
+    bitmap_scaling = np.ones(nn, dtype=np.float32)
+
+    bitmaps = []  # unique BitmapTexture.data arrays
+    bitmap_ids = {}
+
+    for i, node in enumerate(scene.nodes):
+        expr = _geom_expr(node.geometry, tables)
+        tr = node.transform
+        node_matrix[i] = tr.matrix
+        node_offset[i] = tr.offset
+        ident = bool(np.allclose(tr.matrix, np.eye(3)) and np.allclose(tr.offset, 0))
+        offset_only = bool(np.allclose(tr.matrix, np.eye(3)))
+
+        sh = node.shader
+        kind = _SHADER_KIND[type(sh)]
+        mat_color[i] = np.asarray(sh.color, dtype=np.float32)
+        if isinstance(sh, T.Phong):
+            mat_exponent[i] = sh.exponent
+            mat_strength[i] = sh.strength
+        if isinstance(sh, T.Refraction):
+            mat_ior[i] = sh.ior
+
+        tex = getattr(sh, "texture", None)
+        tex_kind, bidx = TEX_NONE, -1
+        if isinstance(tex, T.Checker):
+            tex_kind = TEX_CHECKER
+            checker_c1[i] = tex.color1
+            checker_c2[i] = tex.color2
+            checker_size[i] = tex.size
+        elif isinstance(tex, T.Procedure2):
+            tex_kind = TEX_PROC2
+            proc2_cu[i] = np.asarray(tex.colorU, dtype=np.float32)
+            proc2_cv[i] = np.asarray(tex.colorV, dtype=np.float32)
+            proc2_fu[i] = np.asarray(tex.freqU, dtype=np.float32)
+            proc2_fv[i] = np.asarray(tex.freqV, dtype=np.float32)
+        elif isinstance(tex, T.BitmapTexture):
+            tex_kind = TEX_BITMAP
+            key = id(tex)
+            if key not in bitmap_ids:
+                bitmap_ids[key] = len(bitmaps)
+                bitmaps.append(np.asarray(tex.data, dtype=np.float32))
+            bidx = bitmap_ids[key]
+            bitmap_scaling[i] = tex.scaling
+
+        node_static.append(
+            NodeStatic(
+                geom=expr,
+                shader_kind=kind,
+                tex_kind=tex_kind,
+                bitmap_idx=bidx,
+                identity_transform=ident,
+                offset_only=offset_only,
+            )
+        )
+
+    # Pad bitmaps into one atlas so a per-ray texture id can gather rows.
+    if bitmaps:
+        hmax = max(b.shape[0] for b in bitmaps)
+        wmax = max(b.shape[1] for b in bitmaps)
+        atlas = np.zeros((len(bitmaps), hmax, wmax, 3), dtype=np.float32)
+        hw = np.zeros((len(bitmaps), 2), dtype=np.float32)
+        for j, b in enumerate(bitmaps):
+            atlas[j, : b.shape[0], : b.shape[1]] = b
+            hw[j] = (b.shape[0], b.shape[1])
+    else:
+        atlas = np.zeros((0, 1, 1, 3), dtype=np.float32)
+        hw = np.zeros((0, 2), dtype=np.float32)
+
+    lights = scene.lights
+    cam = scene.camera
+    s = scene.settings
+    f = lambda x: jnp.asarray(x, dtype=dtype)  # noqa: E731
+
+    packed = ScenePacked(
+        plane_y=f(tables["plane_y"]),
+        plane_limit=f(tables["plane_limit"]),
+        sphere_center=f(np.asarray(tables["sphere_center"], dtype=np.float64).reshape(-1, 3)),
+        sphere_r=f(tables["sphere_r"]),
+        cube_center=f(np.asarray(tables["cube_center"], dtype=np.float64).reshape(-1, 3)),
+        cube_side=f(tables["cube_side"]),
+        node_matrix=f(node_matrix),
+        node_offset=f(node_offset),
+        light_pos=f(np.asarray([li.pos for li in lights], dtype=np.float64).reshape(-1, 3)),
+        light_color=f(np.asarray([li.color for li in lights], dtype=np.float64).reshape(-1, 3)),
+        light_power=f([li.power for li in lights]),
+        mat_color=f(mat_color),
+        mat_exponent=f(mat_exponent),
+        mat_strength=f(mat_strength),
+        mat_ior=f(mat_ior),
+        checker_c1=f(checker_c1),
+        checker_c2=f(checker_c2),
+        checker_size=f(checker_size),
+        proc2_color_u=f(proc2_cu),
+        proc2_color_v=f(proc2_cv),
+        proc2_freq_u=f(proc2_fu),
+        proc2_freq_v=f(proc2_fv),
+        bitmap_scaling=f(bitmap_scaling),
+        bitmap_atlas=f(atlas),
+        bitmap_hw=f(hw),
+        ambient=f(s.ambientLightColor),
+        camera=CameraPacked(
+            pos=f(cam.pos),
+            yaw=f(cam.yaw),
+            pitch=f(cam.pitch),
+            roll=f(cam.roll),
+            fov=f(cam.fov),
+            focal_plane_dist=f(cam.focalPlaneDist),
+            disc_multiplier=f(cam.discMultiplier),
+            stereo_separation=f(cam.stereoSeparation),
+        ),
+    )
+
+    static = SceneStatic(
+        nodes=tuple(node_static),
+        n_lights=len(lights),
+        width=s.frameWidth,
+        height=s.frameHeight,
+        max_trace_depth=s.maxTraceDepth,
+        aa_enabled=s.AAEnabled,
+        dof=cam.dof,
+        dof_samples=cam.numSamples,
+        gi_enabled=s.GIEnabled,
+        paths_per_pixel=s.pathsPerPixel,
+        stereo=cam.stereoSeparation != 0.0,
+    )
+    return packed, static

@@ -1,0 +1,175 @@
+"""Device-side texturing and direct shading (texture.d, shader.d).
+
+TPU-first design: instead of per-node virtual dispatch, material and texture
+parameters live in node-indexed tables (ScenePacked) and are *gathered* by
+the per-ray winning-node id, so the whole batch shades in one fused pass —
+in particular the shadow-visibility scan over nodes runs once per light for
+the entire wavefront, not once per (node, ray) pair like the reference's
+object graph (shader.d:80-103).
+
+Texture kinds absent from the scene are statically skipped (SceneStatic
+.tex_kinds_present), so e.g. a checker-only scene never touches the bitmap
+atlas gather.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.packed import (
+    LAMBERT,
+    PHONG,
+    REFLECTION,
+    REFRACTION,
+    TEX_BITMAP,
+    TEX_CHECKER,
+    TEX_NONE,
+    TEX_PROC2,
+    ScenePacked,
+    SceneStatic,
+)
+from . import geometry as G
+
+
+def _norm(v):
+    return v / jnp.sqrt((v * v).sum(-1, keepdims=True))
+
+
+def dot(a, b):
+    return (a * b).sum(-1)
+
+
+def faceforward(ray, norm):
+    """imported_types.d:69-73: +norm towards the viewer, else -norm."""
+    return jnp.where(dot(ray, norm)[..., None] < 0, norm, -norm)
+
+
+def shadow_eps(dtype) -> float:
+    """Self-intersection offset for shadow/secondary rays.  The reference
+    uses 1e-6 in float64 (shader.d:88); under float32 that offset is below
+    one ulp at the reference scenes' coordinate scale (~1e2), so the f32
+    path widens it to 1e-3.  f64 keeps exact parity."""
+    return 1e-6 if dtype == jnp.float64 else 1e-3
+
+
+def node_kind_tables(static: SceneStatic):
+    """Static per-node kind vectors as device constants."""
+    shader_kind = np.array([n.shader_kind for n in static.nodes] or [0], dtype=np.int32)
+    tex_kind = np.array([n.tex_kind for n in static.nodes] or [0], dtype=np.int32)
+    bitmap_idx = np.array([max(n.bitmap_idx, 0) for n in static.nodes] or [0], dtype=np.int32)
+    return jnp.asarray(shader_kind), jnp.asarray(tex_kind), jnp.asarray(bitmap_idx)
+
+
+# --------------------------------------------------------------------------
+# Textures (texture.d:20-162, bitmap.d:48-63)
+# --------------------------------------------------------------------------
+
+
+def texture_color(packed: ScenePacked, static: SceneStatic, winc, u, v):
+    """Per-ray diffuse color: flat material color or the node's texture.
+    ``winc`` is the winning node id clipped to >= 0."""
+    _, tex_kind_tab, bitmap_idx_tab = node_kind_tables(static)
+    tk = tex_kind_tab[winc]
+    out = packed.mat_color[winc]
+    present = static.tex_kinds_present
+
+    if TEX_CHECKER in present:
+        size = packed.checker_size[winc]
+        x = jnp.floor(u / size).astype(jnp.int32)
+        y = jnp.floor(v / size).astype(jnp.int32)
+        # D's signed %2 marks exactly the same squares as (x+y) & 1
+        # (texture.d:48-53; see oracle tex_color for the equivalence).
+        white = ((x + y) & 1).astype(bool)
+        checker = jnp.where(white[..., None], packed.checker_c2[winc], packed.checker_c1[winc])
+        out = jnp.where((tk == TEX_CHECKER)[..., None], checker, out)
+
+    if TEX_PROC2 in present:
+        # sum_i colorU[i]*sin(u*freqU[i]) + colorV[i]*sin(v*freqV[i])
+        # (texture.d:77-85), batched over the 3 bands.
+        su = jnp.sin(u[..., None] * packed.proc2_freq_u[winc])  # [N, 3]
+        sv = jnp.sin(v[..., None] * packed.proc2_freq_v[winc])
+        proc = (packed.proc2_color_u[winc] * su[..., None]).sum(-2) + (
+            packed.proc2_color_v[winc] * sv[..., None]
+        ).sum(-2)
+        out = jnp.where((tk == TEX_PROC2)[..., None], proc, out)
+
+    if TEX_BITMAP in present:
+        b = bitmap_idx_tab[winc]
+        hw = packed.bitmap_hw[b]
+        h, w = hw[..., 0], hw[..., 1]
+        scaling = packed.bitmap_scaling[winc]
+        uu = u * scaling
+        vv = v * scaling
+        uu = uu - jnp.floor(uu)
+        vv = vv - jnp.floor(vv)
+        tx = uu * w
+        ty = vv * h
+        ix = jnp.clip(jnp.floor(tx), 0, w - 1)
+        iy = jnp.clip(jnp.floor(ty), 0, h - 1)
+        p = (tx - ix)[..., None]
+        q = (ty - iy)[..., None]
+        ixi = ix.astype(jnp.int32)
+        iyi = iy.astype(jnp.int32)
+        wi = w.astype(jnp.int32)
+        hi = h.astype(jnp.int32)
+        ixn = jnp.where(ixi + 1 >= wi, 0, ixi + 1)  # edge wrap (bitmap.d:55-56)
+        iyn = jnp.where(iyi + 1 >= hi, 0, iyi + 1)
+        atlas = packed.bitmap_atlas
+        bil = (
+            atlas[b, iyi, ixi] * (1 - p) * (1 - q)
+            + atlas[b, iyi, ixn] * p * (1 - q)
+            + atlas[b, iyn, ixi] * (1 - p) * q
+            + atlas[b, iyn, ixn] * p * q
+        )
+        out = jnp.where((tk == TEX_BITMAP)[..., None], bil, out)
+
+    return out
+
+
+# --------------------------------------------------------------------------
+# Direct shading: fused Lambert + Phong (shader.d:67-105, :197-250)
+# --------------------------------------------------------------------------
+
+
+def shade_direct(packed: ScenePacked, static: SceneStatic, ray_dir, hit, winc):
+    """Direct lighting for the whole wavefront in one pass.
+
+    Lambert: diffuse * (ambient + sum_lights visible * lightColor/d^2 * cos)
+    Phong adds the untinted cos^n specular (shader.d:246-249); the specular
+    term is masked to Phong-shaded rays via the node kind table."""
+    shader_kind_tab, _, _ = node_kind_tables(static)
+    skind = shader_kind_tab[winc]
+    N = faceforward(ray_dir, hit["normal"])
+    diffuse = texture_color(packed, static, winc, hit["u"], hit["v"])
+
+    has_phong = PHONG in static.shader_kinds_present
+    lam = jnp.zeros_like(hit["p"])
+    spec = jnp.zeros_like(hit["p"]) if has_phong else None
+    eps = shadow_eps(ray_dir.dtype)
+    shade_from = hit["p"] + N * eps
+
+    for li in range(static.n_lights):
+        lp = packed.light_pos[li]
+        lc = packed.light_color[li] * packed.light_power[li]
+        # lightColor.intensity() != 0 gate (shader.d:88)
+        nonzero = lc.mean() != 0
+        vis = G.test_visibility(packed, static, shade_from, jnp.broadcast_to(lp, shade_from.shape))
+        vis &= nonzero
+        to_light = lp - hit["p"]
+        light_dir = _norm(to_light)
+        cos_theta = dot(light_dir, N)
+        base = lc / dot(to_light, to_light)[..., None]
+        lam = lam + jnp.where((vis & (cos_theta > 0))[..., None], base * cos_theta[..., None], 0.0)
+        if has_phong:
+            # R = reflect(-lightDir, N) is normalized (imported_types.d:62-67)
+            R = _norm(-light_dir - 2.0 * dot(-light_dir, N)[..., None] * N)
+            cos_gamma = dot(R, -ray_dir)
+            s = base * jnp.power(jnp.maximum(cos_gamma, 0.0), packed.mat_exponent[winc])[..., None]
+            s = s * packed.mat_strength[winc][..., None]
+            spec = spec + jnp.where((vis & (cos_gamma > 0))[..., None], s, 0.0)
+
+    out = diffuse * (packed.ambient + lam)
+    if has_phong:
+        out = out + jnp.where((skind == PHONG)[..., None], spec, 0.0)
+    return out

@@ -1,0 +1,284 @@
+"""The TPU render pipeline: fixed-depth wavefront under one jit.
+
+Maps the reference's 3-pass recursive renderer (renderer.d:83-189, :325-463)
+onto XLA-friendly structure:
+
+* recursion -> K = maxTraceDepth statically-unrolled wavefront rounds over
+  the full ray batch with an ``alive`` mask (SURVEY.md §7.0: wavefront, not
+  megakernel).  Reference scenes carry only Lambert/Phong, so round 0
+  terminates everything — the extension Reflection/Refraction shaders
+  exercise the depth-K machinery (models/types.py docstring).
+* buckets -> one flat pixel batch; sharding over a device mesh happens one
+  level up (parallel/).
+* the AA pass: the reference *computes* a needs-AA mask (renderer.d:150-178)
+  but then unconditionally resamples every pixel (renderer.d:183-186 calls
+  renderPixelAA for all x, y — the mask is never read).  We reproduce the
+  observable behavior: with AAEnabled every pixel is the average of 5
+  samples at the fixed kernel offsets (renderer.d:235-242).
+* stochastic features (DoF disc sampling, GI hemisphere sampling, per-pass
+  jitter) use jax.random threefry keyed per (sample, purpose) — the
+  reference is seeded by wall-clock time (util/random.d:7-10) so these only
+  match statistically.
+
+Everything is differentiable end-to-end w.r.t. ScenePacked leaves.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.packed import (
+    LAMBERT,
+    PHONG,
+    REFLECTION,
+    REFRACTION,
+    ScenePacked,
+    SceneStatic,
+    pack_scene,
+)
+from ..ops import geometry as G
+from ..ops import shade as S
+from ..ops.camera import begin_frame, screen_rays
+
+INF = G.INF
+
+
+def _norm(v):
+    return v / jnp.sqrt((v * v).sum(-1, keepdims=True))
+
+
+def dot(a, b):
+    return (a * b).sum(-1)
+
+
+# --------------------------------------------------------------------------
+# Whitted trace (renderer.d:325-376)
+# --------------------------------------------------------------------------
+
+
+def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir):
+    """Returns radiance [N, 3] for a batch of primary rays."""
+    shader_kind_tab, _, _ = S.node_kind_tables(static)
+    recursive = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
+    rounds = (static.max_trace_depth + 1) if recursive else 1
+
+    color = jnp.zeros_like(orig)
+    atten = jnp.ones_like(orig)
+    alive = jnp.ones(orig.shape[:-1], dtype=bool)
+    eps = S.shadow_eps(orig.dtype)
+
+    for _ in range(rounds):
+        hit, win = G.scene_closest(packed, static, orig, dir)
+        hitmask = alive & (win >= 0)
+        winc = jnp.maximum(win, 0)
+        skind = shader_kind_tab[winc]
+
+        direct = S.shade_direct(packed, static, dir, hit, winc)
+        is_direct = (skind == LAMBERT) | (skind == PHONG)
+        color = color + atten * jnp.where((hitmask & is_direct)[..., None], direct, 0.0)
+        # miss -> environment, which is black (environment.d:5-15)
+
+        if not recursive:
+            break
+
+        N = S.faceforward(dir, hit["normal"])
+        refl_dir = _norm(dir - 2.0 * dot(dir, N)[..., None] * N)
+        new_orig = hit["p"] + N * eps
+        new_dir = refl_dir
+
+        if REFRACTION in static.shader_kinds_present:
+            ior = packed.mat_ior[winc]
+            cos_in = -dot(dir, hit["normal"])
+            entering = cos_in > 0
+            eta = jnp.where(entering, 1.0 / ior, ior)
+            n_face = jnp.where(entering[..., None], hit["normal"], -hit["normal"])
+            ci = jnp.abs(cos_in)
+            k = 1.0 - eta * eta * (1.0 - ci * ci)
+            tir = k < 0
+            refr = eta[..., None] * dir + (eta * ci - jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n_face
+            refr_dir = jnp.where(tir[..., None], refl_dir, _norm(refr))
+            refr_orig = jnp.where(tir[..., None], hit["p"] + n_face * eps, hit["p"] - n_face * eps)
+            is_refr = skind == REFRACTION
+            new_dir = jnp.where(is_refr[..., None], refr_dir, new_dir)
+            new_orig = jnp.where(is_refr[..., None], refr_orig, new_orig)
+
+        continuing = hitmask & ((skind == REFLECTION) | (skind == REFRACTION))
+        atten = atten * jnp.where(continuing[..., None], packed.mat_color[winc], 1.0)
+        orig = jnp.where(continuing[..., None], new_orig, orig)
+        dir = jnp.where(continuing[..., None], new_dir, dir)
+        alive = continuing
+
+    return color
+
+
+# --------------------------------------------------------------------------
+# GI path trace (renderer.d:378-463), Lambert BRDF (shader.d:107-135)
+# --------------------------------------------------------------------------
+
+
+def trace_path(packed: ScenePacked, static: SceneStatic, orig, dir, key):
+    """One path per input ray, unrolled to maxTraceDepth bounces.
+
+    Quirks/extensions (see oracle/renderer.py and SceneStatic):
+    * gi_multiplier_quirk (default True): the reference drops the path
+      multiplier at every recursion (renderer.d:356), so bounces are not
+      attenuated by throughput.
+    * PointLight.solidAngle == 0 (light.d:72-75) zeroes the reference's
+      explicit direct term; gi_point_light_direct=True replaces it with
+      standard next-event estimation against point lights (extension).
+    """
+    for ns in static.nodes:
+        if ns.shader_kind != LAMBERT:
+            raise NotImplementedError(
+                "GI requires BRDF eval/spawnRay; only Lambert has them "
+                "(Phong asserts, shader.d:252-261)"
+            )
+    eps = S.shadow_eps(orig.dtype)
+    acc = jnp.zeros_like(orig)
+    mult = jnp.ones_like(orig)
+    alive = jnp.ones(orig.shape[:-1], dtype=bool)
+
+    for depth in range(static.max_trace_depth + 1):
+        hit, win = G.scene_closest(packed, static, orig, dir)
+        hitmask = alive & (win >= 0)
+        winc = jnp.maximum(win, 0)
+        N = S.faceforward(dir, hit["normal"])
+        diffuse = S.texture_color(packed, static, winc, hit["u"], hit["v"])
+
+        mult_eff = jnp.ones_like(mult) if static.gi_multiplier_quirk else mult
+
+        if static.gi_point_light_direct:
+            shade_from = hit["p"] + N * eps
+            for li in range(static.n_lights):
+                lp = packed.light_pos[li]
+                lc = packed.light_color[li] * packed.light_power[li]
+                vis = G.test_visibility(packed, static, shade_from, jnp.broadcast_to(lp, shade_from.shape))
+                to_light = lp - hit["p"]
+                ld = _norm(to_light)
+                brdf = diffuse * (1 / jnp.pi) * jnp.maximum(0.0, dot(ld, N))[..., None]
+                term = lc * brdf / dot(to_light, to_light)[..., None]
+                acc = acc + jnp.where((hitmask & vis)[..., None], mult_eff * term, 0.0)
+        # else: reference direct term == 0 exactly (solidAngle = 0)
+
+        # Lambert.spawnRay (shader.d:118-135): uniform-hemisphere sample
+        key, k1, k2 = jax.random.split(key, 3)
+        u = jax.random.uniform(k1, hit["u"].shape, dtype=orig.dtype)
+        v = jax.random.uniform(k2, hit["u"].shape, dtype=orig.dtype)
+        theta = 2 * jnp.pi * u
+        phi = jnp.arccos(jnp.clip(2 * v - 1, -1.0, 1.0)) - jnp.pi / 2
+        w = jnp.stack(
+            [jnp.cos(theta) * jnp.cos(phi), jnp.sin(phi), jnp.sin(theta) * jnp.cos(phi)], axis=-1
+        )
+        w = jnp.where(dot(w, N)[..., None] < 0, -w, w)
+        color_eval = diffuse * (1 / jnp.pi) * jnp.maximum(0.0, dot(w, N))[..., None]
+        pdf = 1 / (2 * jnp.pi)
+        mult = mult * color_eval / pdf
+        orig = jnp.where(hitmask[..., None], hit["p"] + N * eps, orig)
+        dir = jnp.where(hitmask[..., None], w, dir)
+        alive = hitmask
+    return acc
+
+
+# --------------------------------------------------------------------------
+# Per-pixel sampling dispatch (renderer.d:254-313)
+# --------------------------------------------------------------------------
+
+
+def render_samples(packed: ScenePacked, static: SceneStatic, frame, x, y, key, dx=1.0, dy=1.0):
+    """renderSample for a batch of (fractional) pixel coords -> [N, 3]."""
+    cam = packed.camera
+    W, H = float(static.width), float(static.height)
+
+    def one_ray(xx, yy, stereo, k):
+        return screen_rays(cam, frame, W, H, xx, yy, stereo, dof=static.dof, key=k)
+
+    def trace_one(xx, yy, k):
+        if static.stereo:
+            ol, dl = one_ray(xx, yy, -1.0, k)
+            orr, drr = one_ray(xx, yy, +1.0, k)
+            left = trace_whitted(packed, static, ol, dl)
+            right = trace_whitted(packed, static, orr, drr)
+            return _combine_stereo(left, right)
+        o, d = one_ray(xx, yy, 0.0, k)
+        if static.gi_enabled and not static.dof:
+            return trace_path(packed, static, o, d, k)
+        return trace_whitted(packed, static, o, d)
+
+    if static.dof:
+        acc = jnp.zeros(x.shape + (3,), dtype=x.dtype)
+        for i in range(static.dof_samples):
+            key, kj, kr = jax.random.split(key, 3)
+            jx = x + jax.random.uniform(kj, x.shape, dtype=x.dtype) * dx
+            ky2, kj2 = jax.random.split(kj)
+            jy = y + jax.random.uniform(ky2, y.shape, dtype=y.dtype) * dy
+            acc = acc + trace_one(jx, jy, kr)
+        return acc / static.dof_samples
+
+    if static.gi_enabled:
+        acc = jnp.zeros(x.shape + (3,), dtype=x.dtype)
+        for i in range(static.paths_per_pixel):
+            key, kj, kj2, kr = jax.random.split(key, 4)
+            jx = x + jax.random.uniform(kj, x.shape, dtype=x.dtype) * dx
+            jy = y + jax.random.uniform(kj2, y.shape, dtype=y.dtype) * dy
+            acc = acc + trace_one(jx, jy, kr)
+        return acc / static.paths_per_pixel
+
+    return trace_one(x, y, key)
+
+
+def _combine_stereo(left, right):
+    """Anaglyph combine (color.d:10-15)."""
+    mid_l = left.mean(-1, keepdims=True)
+    mid_r = right.mean(-1, keepdims=True)
+    l = left * 0.25 + mid_l * 0.75
+    r = right * 0.25 + mid_r * 0.75
+    mask_l = jnp.asarray([1.0, 0.0, 0.0], dtype=left.dtype)
+    mask_r = jnp.asarray([0.0, 1.0, 1.0], dtype=left.dtype)
+    return l * mask_l + r * mask_r
+
+
+# AA kernel offsets (renderer.d:235-242); sample 0 is the pass-2 sample.
+AA_KERNEL = ((0.3, 0.3), (0.6, 0.0), (0.0, 0.6), (0.6, 0.6))
+
+
+def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
+    """Full-frame render -> float [H, W, 3].  Jit with static_argnums=1 (see
+    build_render_fn)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    dt = packed.node_matrix.dtype
+    W, H = static.width, static.height
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=dt), jnp.arange(W, dtype=dt), indexing="ij")
+    xf = xs.reshape(-1)
+    yf = ys.reshape(-1)
+
+    key, k0 = jax.random.split(key)
+    frame = begin_frame(packed.camera, W / H)
+    img = render_samples(packed, static, frame, xf, yf, k0)
+
+    if static.aa_enabled:
+        acc = img
+        for kx, ky in AA_KERNEL:
+            key, kk = jax.random.split(key)
+            acc = acc + render_samples(packed, static, frame, xf + kx, yf + ky, kk)
+        img = acc / 5.0
+
+    return img.reshape(H, W, 3)
+
+
+def build_render_fn(static: SceneStatic):
+    """Compile a frame renderer for a fixed scene structure:
+    ``fn(packed, key) -> [H, W, 3]``."""
+    return jax.jit(partial(render_frame, static=static))
+
+
+def render_scene_jax(scene, dtype=jnp.float32, key=None, fix=None):
+    """Convenience: pack a host Scene and render one frame on device."""
+    packed, static = pack_scene(scene, dtype=dtype)
+    if fix is not None:
+        static = fix(static)
+    fn = jax.jit(lambda p, k: render_frame(p, static, k))
+    return fn(packed, key if key is not None else jax.random.PRNGKey(0))
