@@ -1,0 +1,112 @@
+"""Benchmark: rays/s on the flagship scene (BASELINE.md north star).
+
+Config: lecture5 (CSG + 2 bitmap textures + Phong + transforms) at
+1920x1080 with a mirror sphere added and maxTraceDepth=5 — the BASELINE
+"recursive reflection, depth 5" configuration — AA enabled (the engine
+default, renderer.d:183-186: every pixel gets 5 samples).
+
+Counted rays (matching how BASELINE.md derives the reference's ~250k
+total rays/s from perf-results.md): camera/AA sample rays + shadow rays
+(one per lit shading point per light) + reflection continuation rays.
+Counts are measured exactly by an instrumented (untimed) pass.
+
+Prints ONE JSON line:
+    {"metric": "rays_per_sec_chip", "value": ..., "unit": "rays/s",
+     "vs_baseline": ...}
+vs_baseline is against the reference's derived ~250k total rays/s
+(BASELINE.md: 640x480 incl. shadow rays / 2.417 s on 1 CPU core).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_TOTAL_RAYS_PER_SEC = 250_000.0  # BASELINE.md derived row
+
+WIDTH, HEIGHT = 1920, 1080
+REPEATS = 3
+
+
+def build():
+    from chess2rt_tpu.models import types as T
+    from chess2rt_tpu.models.packed import pack_scene
+    from chess2rt_tpu.scene.loader import parse_scene_from_file
+
+    sc = parse_scene_from_file("/root/reference/data/lecture5.sdl")
+    sc.settings.frameWidth, sc.settings.frameHeight = WIDTH, HEIGHT
+    sc.camera.set_frame_size(WIDTH, HEIGHT)
+    sc.settings.maxTraceDepth = 5
+    sc.settings.AAEnabled = True
+    # the depth-5 recursive-reflection north-star config: a mirror sphere
+    mirror = T.Reflection(name="mirror", color=(0.9, 0.9, 0.9))
+    sc.shaders.append(mirror)
+    sc.nodes.append(
+        T.Node(name="mirror_ball", geometry=T.Sphere(name="mb", center=(0, 60, 360), R=55.0), shader=mirror)
+    )
+    return pack_scene(sc, dtype=jnp.float32)
+
+
+def main():
+    packed, static = build()
+    from chess2rt_tpu.render.pipeline import AA_KERNEL, begin_frame, render_frame, render_samples
+
+    fn = jax.jit(lambda p, k: render_frame(p, static, k))
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    out = fn(packed, key)
+    jax.block_until_ready(out)
+
+    times = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        out = fn(packed, jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    # exact ray count via one instrumented pass (untimed)
+    def counted(p, k):
+        stats = {}
+        frame = begin_frame(p.camera, static.width / static.height)
+        dtp = p.node_matrix.dtype
+        ys, xs = jnp.meshgrid(
+            jnp.arange(static.height, dtype=dtp), jnp.arange(static.width, dtype=dtp), indexing="ij"
+        )
+        xf, yf = xs.reshape(-1), ys.reshape(-1)
+        render_samples(p, static, frame, xf, yf, k, stats=stats)
+        if static.aa_enabled:
+            for kx, ky in AA_KERNEL:
+                render_samples(p, static, frame, xf + kx, yf + ky, k, stats=stats)
+        return stats
+
+    stats = jax.jit(counted)(packed, key)
+    total_rays = float(stats.get("camera", 0.0))
+    total_rays += float(stats.get("shadow", 0.0)) + float(stats.get("bounce", 0.0))
+
+    rays_per_sec = total_rays / dt
+    dev = jax.devices()[0]
+    result = {
+        "metric": "rays_per_sec_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_TOTAL_RAYS_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    print(
+        f"# {dev.platform}:{dev.device_kind} {WIDTH}x{HEIGHT} depth-{static.max_trace_depth} "
+        f"AA5: frame {dt*1000:.1f} ms, {total_rays/1e6:.1f}M rays "
+        f"(camera {stats.get('camera', 0)/1e6:.1f}M, shadow {float(stats.get('shadow',0))/1e6:.1f}M, "
+        f"bounce {float(stats.get('bounce',0))/1e6:.1f}M)",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.packed import (
     LAMBERT,
@@ -59,8 +60,13 @@ def dot(a, b):
 # --------------------------------------------------------------------------
 
 
-def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir):
-    """Returns radiance [N, 3] for a batch of primary rays."""
+def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir, stats=None):
+    """Returns radiance [N, 3] for a batch of primary rays.
+
+    ``stats`` (optional dict) accumulates traced-ray counts for the
+    benchmark harness: "camera" primary rays, "shadow" visibility rays
+    (one per lit shading point per light, shader.d:88), "bounce"
+    continuation rays.  Counting adds two scalar reductions per round."""
     shader_kind_tab, _, _ = S.node_kind_tables(static)
     recursive = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
     rounds = (static.max_trace_depth + 1) if recursive else 1
@@ -70,7 +76,10 @@ def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir):
     alive = jnp.ones(orig.shape[:-1], dtype=bool)
     eps = S.shadow_eps(orig.dtype)
 
-    for _ in range(rounds):
+    if stats is not None:
+        stats["camera"] = stats.get("camera", 0.0) + float(np.prod(orig.shape[:-1]))
+
+    for r in range(rounds):
         hit, win = G.scene_closest(packed, static, orig, dir)
         hitmask = alive & (win >= 0)
         winc = jnp.maximum(win, 0)
@@ -80,6 +89,13 @@ def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir):
         is_direct = (skind == LAMBERT) | (skind == PHONG)
         color = color + atten * jnp.where((hitmask & is_direct)[..., None], direct, 0.0)
         # miss -> environment, which is black (environment.d:5-15)
+
+        if stats is not None:
+            stats["shadow"] = stats.get("shadow", 0.0) + (
+                hitmask & is_direct
+            ).sum() * static.n_lights
+            if r > 0:
+                stats["bounce"] = stats.get("bounce", 0.0) + alive.sum()
 
         if not recursive:
             break
@@ -187,7 +203,7 @@ def trace_path(packed: ScenePacked, static: SceneStatic, orig, dir, key):
 # --------------------------------------------------------------------------
 
 
-def render_samples(packed: ScenePacked, static: SceneStatic, frame, x, y, key, dx=1.0, dy=1.0):
+def render_samples(packed: ScenePacked, static: SceneStatic, frame, x, y, key, dx=1.0, dy=1.0, stats=None):
     """renderSample for a batch of (fractional) pixel coords -> [N, 3]."""
     cam = packed.camera
     W, H = float(static.width), float(static.height)
@@ -199,13 +215,13 @@ def render_samples(packed: ScenePacked, static: SceneStatic, frame, x, y, key, d
         if static.stereo:
             ol, dl = one_ray(xx, yy, -1.0, k)
             orr, drr = one_ray(xx, yy, +1.0, k)
-            left = trace_whitted(packed, static, ol, dl)
-            right = trace_whitted(packed, static, orr, drr)
+            left = trace_whitted(packed, static, ol, dl, stats)
+            right = trace_whitted(packed, static, orr, drr, stats)
             return _combine_stereo(left, right)
         o, d = one_ray(xx, yy, 0.0, k)
         if static.gi_enabled and not static.dof:
             return trace_path(packed, static, o, d, k)
-        return trace_whitted(packed, static, o, d)
+        return trace_whitted(packed, static, o, d, stats)
 
     if static.dof:
         acc = jnp.zeros(x.shape + (3,), dtype=x.dtype)
