@@ -133,6 +133,9 @@ class SceneStatic:
     # extensions / quirk switches (documented in oracle/renderer.py)
     gi_multiplier_quirk: bool = True
     gi_point_light_direct: bool = False
+    # forward-only speed switch: early-exit while_loop over wavefront rounds
+    # (not reverse-differentiable; see trace_whitted)
+    fast_forward: bool = False
 
     @property
     def tex_kinds_present(self):

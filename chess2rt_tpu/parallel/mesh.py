@@ -62,10 +62,15 @@ def _sample_pixels(packed: ScenePacked, static: SceneStatic, xf, yf, key):
     frame = begin_frame(packed.camera, static.width / static.height)
     img = render_samples(packed, static, frame, xf, yf, key)
     if static.aa_enabled:
-        acc = img
-        for i, (kx, ky) in enumerate(AA_KERNEL):
-            kk = jax.random.fold_in(key, i + 1)
-            acc = acc + render_samples(packed, static, frame, xf + kx, yf + ky, kk)
+        offsets = jnp.asarray(AA_KERNEL, dtype=xf.dtype)
+
+        def aa_body(carry, off):
+            i, acc = carry
+            kk = jax.random.fold_in(key, i)
+            s = render_samples(packed, static, frame, xf + off[0], yf + off[1], kk)
+            return (i + 1, acc + s), None
+
+        (_, acc), _ = jax.lax.scan(aa_body, (jnp.int32(1), img), offsets)
         img = acc / 5.0
     return img
 

@@ -60,74 +60,112 @@ def dot(a, b):
 # --------------------------------------------------------------------------
 
 
+def _whitted_round(packed, static, shader_kind_tab, color, atten, alive, orig, dir, recursive, stats=None, r=0):
+    """One wavefront round: closest-hit, direct shade, spawn continuation.
+    Returns the updated carry.  Shared by the unrolled, scan and while_loop
+    drivers below."""
+    eps = S.shadow_eps(orig.dtype)
+    hit, win = G.scene_closest(packed, static, orig, dir)
+    hitmask = alive & (win >= 0)
+    winc = jnp.maximum(win, 0)
+    skind = shader_kind_tab[winc]
+
+    direct = S.shade_direct(packed, static, dir, hit, winc)
+    is_direct = (skind == LAMBERT) | (skind == PHONG)
+    color = color + atten * jnp.where((hitmask & is_direct)[..., None], direct, 0.0)
+    # miss -> environment, which is black (environment.d:5-15)
+
+    if stats is not None:
+        stats["shadow"] = stats.get("shadow", 0.0) + (hitmask & is_direct).sum() * static.n_lights
+        if r > 0:
+            stats["bounce"] = stats.get("bounce", 0.0) + alive.sum()
+
+    if not recursive:
+        return color, atten, jnp.zeros_like(alive), orig, dir
+
+    N = S.faceforward(dir, hit["normal"])
+    refl_dir = _norm(dir - 2.0 * dot(dir, N)[..., None] * N)
+    new_orig = hit["p"] + N * eps
+    new_dir = refl_dir
+
+    if REFRACTION in static.shader_kinds_present:
+        ior = packed.mat_ior[winc]
+        cos_in = -dot(dir, hit["normal"])
+        entering = cos_in > 0
+        eta = jnp.where(entering, 1.0 / ior, ior)
+        n_face = jnp.where(entering[..., None], hit["normal"], -hit["normal"])
+        ci = jnp.abs(cos_in)
+        k = 1.0 - eta * eta * (1.0 - ci * ci)
+        tir = k < 0
+        refr = eta[..., None] * dir + (eta * ci - jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n_face
+        refr_dir = jnp.where(tir[..., None], refl_dir, _norm(refr))
+        refr_orig = jnp.where(tir[..., None], hit["p"] + n_face * eps, hit["p"] - n_face * eps)
+        is_refr = skind == REFRACTION
+        new_dir = jnp.where(is_refr[..., None], refr_dir, new_dir)
+        new_orig = jnp.where(is_refr[..., None], refr_orig, new_orig)
+
+    continuing = hitmask & ((skind == REFLECTION) | (skind == REFRACTION))
+    atten = atten * jnp.where(continuing[..., None], packed.mat_color[winc], 1.0)
+    orig = jnp.where(continuing[..., None], new_orig, orig)
+    dir = jnp.where(continuing[..., None], new_dir, dir)
+    return color, atten, continuing, orig, dir
+
+
 def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir, stats=None):
     """Returns radiance [N, 3] for a batch of primary rays.
 
-    ``stats`` (optional dict) accumulates traced-ray counts for the
-    benchmark harness: "camera" primary rays, "shadow" visibility rays
-    (one per lit shading point per light, shader.d:88), "bounce"
-    continuation rays.  Counting adds two scalar reductions per round."""
+    Driver selection (SURVEY.md §7.2 'wavefront efficiency'):
+    * non-recursive scene -> single straight-line round;
+    * stats requested -> statically unrolled rounds (the bench harness reads
+      per-round counters);
+    * static.fast_forward -> lax.while_loop with an any(alive) early exit —
+      dead wavefront rounds cost nothing, but reverse-mode AD through
+      while_loop is unsupported, so this is the forward/bench path only;
+    * default -> lax.scan over maxTraceDepth+1 rounds: one compiled round
+      body (small HLO) and reverse-differentiable for inverse rendering.
+
+    ``stats`` (optional dict) accumulates traced-ray counts: "camera"
+    primary rays, "shadow" visibility rays (one per lit shading point per
+    light, shader.d:88), "bounce" continuation rays."""
     shader_kind_tab, _, _ = S.node_kind_tables(static)
     recursive = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
     rounds = (static.max_trace_depth + 1) if recursive else 1
 
-    color = jnp.zeros_like(orig)
-    atten = jnp.ones_like(orig)
-    alive = jnp.ones(orig.shape[:-1], dtype=bool)
-    eps = S.shadow_eps(orig.dtype)
-
+    carry = (
+        jnp.zeros_like(orig),  # color
+        jnp.ones_like(orig),  # attenuation (BRDF product)
+        jnp.ones(orig.shape[:-1], dtype=bool),  # alive
+        orig,
+        dir,
+    )
     if stats is not None:
         stats["camera"] = stats.get("camera", 0.0) + float(np.prod(orig.shape[:-1]))
 
-    for r in range(rounds):
-        hit, win = G.scene_closest(packed, static, orig, dir)
-        hitmask = alive & (win >= 0)
-        winc = jnp.maximum(win, 0)
-        skind = shader_kind_tab[winc]
+    if not recursive or stats is not None:
+        for r in range(rounds):
+            carry = _whitted_round(packed, static, shader_kind_tab, *carry, recursive, stats, r)
+            if not recursive:
+                break
+        return carry[0]
 
-        direct = S.shade_direct(packed, static, dir, hit, winc)
-        is_direct = (skind == LAMBERT) | (skind == PHONG)
-        color = color + atten * jnp.where((hitmask & is_direct)[..., None], direct, 0.0)
-        # miss -> environment, which is black (environment.d:5-15)
+    if static.fast_forward:
 
-        if stats is not None:
-            stats["shadow"] = stats.get("shadow", 0.0) + (
-                hitmask & is_direct
-            ).sum() * static.n_lights
-            if r > 0:
-                stats["bounce"] = stats.get("bounce", 0.0) + alive.sum()
+        def cond(state):
+            r, (_, _, alive, _, _) = state
+            return (r < rounds) & alive.any()
 
-        if not recursive:
-            break
+        def body(state):
+            r, c = state
+            return r + 1, _whitted_round(packed, static, shader_kind_tab, *c, True)
 
-        N = S.faceforward(dir, hit["normal"])
-        refl_dir = _norm(dir - 2.0 * dot(dir, N)[..., None] * N)
-        new_orig = hit["p"] + N * eps
-        new_dir = refl_dir
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+        return carry[0]
 
-        if REFRACTION in static.shader_kinds_present:
-            ior = packed.mat_ior[winc]
-            cos_in = -dot(dir, hit["normal"])
-            entering = cos_in > 0
-            eta = jnp.where(entering, 1.0 / ior, ior)
-            n_face = jnp.where(entering[..., None], hit["normal"], -hit["normal"])
-            ci = jnp.abs(cos_in)
-            k = 1.0 - eta * eta * (1.0 - ci * ci)
-            tir = k < 0
-            refr = eta[..., None] * dir + (eta * ci - jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n_face
-            refr_dir = jnp.where(tir[..., None], refl_dir, _norm(refr))
-            refr_orig = jnp.where(tir[..., None], hit["p"] + n_face * eps, hit["p"] - n_face * eps)
-            is_refr = skind == REFRACTION
-            new_dir = jnp.where(is_refr[..., None], refr_dir, new_dir)
-            new_orig = jnp.where(is_refr[..., None], refr_orig, new_orig)
+    def scan_body(c, _):
+        return _whitted_round(packed, static, shader_kind_tab, *c, True), None
 
-        continuing = hitmask & ((skind == REFLECTION) | (skind == REFRACTION))
-        atten = atten * jnp.where(continuing[..., None], packed.mat_color[winc], 1.0)
-        orig = jnp.where(continuing[..., None], new_orig, orig)
-        dir = jnp.where(continuing[..., None], new_dir, dir)
-        alive = continuing
-
-    return color
+    carry, _ = jax.lax.scan(scan_body, carry, None, length=rounds)
+    return carry[0]
 
 
 # --------------------------------------------------------------------------
@@ -157,7 +195,8 @@ def trace_path(packed: ScenePacked, static: SceneStatic, orig, dir, key):
     mult = jnp.ones_like(orig)
     alive = jnp.ones(orig.shape[:-1], dtype=bool)
 
-    for depth in range(static.max_trace_depth + 1):
+    def bounce(carry, _):
+        key, acc, mult, alive, orig, dir = carry
         hit, win = G.scene_closest(packed, static, orig, dir)
         hitmask = alive & (win >= 0)
         winc = jnp.maximum(win, 0)
@@ -194,8 +233,11 @@ def trace_path(packed: ScenePacked, static: SceneStatic, orig, dir, key):
         mult = mult * color_eval / pdf
         orig = jnp.where(hitmask[..., None], hit["p"] + N * eps, orig)
         dir = jnp.where(hitmask[..., None], w, dir)
-        alive = hitmask
-    return acc
+        return (key, acc, mult, hitmask, orig, dir), None
+
+    carry = (key, acc, mult, alive, orig, dir)
+    carry, _ = jax.lax.scan(bounce, carry, None, length=static.max_trace_depth + 1)
+    return carry[1]
 
 
 # --------------------------------------------------------------------------
@@ -211,38 +253,43 @@ def render_samples(packed: ScenePacked, static: SceneStatic, frame, x, y, key, d
     def one_ray(xx, yy, stereo, k):
         return screen_rays(cam, frame, W, H, xx, yy, stereo, dof=static.dof, key=k)
 
-    def trace_one(xx, yy, k):
+    def trace_one(xx, yy, k, st=None):
         if static.stereo:
             ol, dl = one_ray(xx, yy, -1.0, k)
             orr, drr = one_ray(xx, yy, +1.0, k)
-            left = trace_whitted(packed, static, ol, dl, stats)
-            right = trace_whitted(packed, static, orr, drr, stats)
+            left = trace_whitted(packed, static, ol, dl, st)
+            right = trace_whitted(packed, static, orr, drr, st)
             return _combine_stereo(left, right)
         o, d = one_ray(xx, yy, 0.0, k)
         if static.gi_enabled and not static.dof:
             return trace_path(packed, static, o, d, k)
-        return trace_whitted(packed, static, o, d, stats)
+        return trace_whitted(packed, static, o, d, st)
 
-    if static.dof:
-        acc = jnp.zeros(x.shape + (3,), dtype=x.dtype)
-        for i in range(static.dof_samples):
-            key, kj, kr = jax.random.split(key, 3)
-            jx = x + jax.random.uniform(kj, x.shape, dtype=x.dtype) * dx
-            ky2, kj2 = jax.random.split(kj)
-            jy = y + jax.random.uniform(ky2, y.shape, dtype=y.dtype) * dy
-            acc = acc + trace_one(jx, jy, kr)
-        return acc / static.dof_samples
+    if static.dof or static.gi_enabled:
+        # Monte-Carlo sample loop as a lax.scan with an accumulator carry:
+        # one compiled sample body regardless of numSamples/pathsPerPixel,
+        # and no [S, N, 3] intermediate.
+        n_samples = static.dof_samples if static.dof else static.paths_per_pixel
+        if stats is not None:
+            # per-round counters can't escape a scan body; count camera rays
+            # statically (MC modes are not the bench config)
+            stats["camera"] = stats.get("camera", 0.0) + float(
+                np.prod(x.shape) * n_samples * (2 if static.stereo else 1)
+            )
 
-    if static.gi_enabled:
-        acc = jnp.zeros(x.shape + (3,), dtype=x.dtype)
-        for i in range(static.paths_per_pixel):
+        def body(carry, _):
+            key, acc = carry
             key, kj, kj2, kr = jax.random.split(key, 4)
             jx = x + jax.random.uniform(kj, x.shape, dtype=x.dtype) * dx
             jy = y + jax.random.uniform(kj2, y.shape, dtype=y.dtype) * dy
-            acc = acc + trace_one(jx, jy, kr)
-        return acc / static.paths_per_pixel
+            return (key, acc + trace_one(jx, jy, kr)), None
 
-    return trace_one(x, y, key)
+        (_, acc), _ = jax.lax.scan(
+            body, (key, jnp.zeros(x.shape + (3,), dtype=x.dtype)), None, length=n_samples
+        )
+        return acc / n_samples
+
+    return trace_one(x, y, key, stats)
 
 
 def _combine_stereo(left, right):
@@ -276,10 +323,17 @@ def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
     img = render_samples(packed, static, frame, xf, yf, k0)
 
     if static.aa_enabled:
-        acc = img
-        for kx, ky in AA_KERNEL:
+        # The 4 extra AA kernel taps as a lax.scan over the offsets: one
+        # compiled sample body instead of 4 inlined pipeline copies.
+        offsets = jnp.asarray(AA_KERNEL, dtype=dt)
+
+        def aa_body(carry, off):
+            key, acc = carry
             key, kk = jax.random.split(key)
-            acc = acc + render_samples(packed, static, frame, xf + kx, yf + ky, kk)
+            s = render_samples(packed, static, frame, xf + off[0], yf + off[1], kk)
+            return (key, acc + s), None
+
+        (_, acc), _ = jax.lax.scan(aa_body, (key, img), offsets)
         img = acc / 5.0
 
     return img.reshape(H, W, 3)
