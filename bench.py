@@ -56,7 +56,8 @@ def main():
     import dataclasses
 
     packed, static = build()
-    static = dataclasses.replace(static, fast_forward=True)  # forward-only: early-exit rounds
+    # forward-only early-exit rounds; 259200-ray slabs bound peak HBM
+    static = dataclasses.replace(static, fast_forward=True, chunk_pixels=259200)
     from chess2rt_tpu.render.pipeline import AA_KERNEL, begin_frame, render_frame, render_samples
 
     # The timed function reduces the frame to a checksum on-device: timing

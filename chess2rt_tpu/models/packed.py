@@ -136,6 +136,9 @@ class SceneStatic:
     # forward-only speed switch: early-exit while_loop over wavefront rounds
     # (not reverse-differentiable; see trace_whitted)
     fast_forward: bool = False
+    # bound peak device memory: render the pixel batch in lax.map slabs of
+    # this many rays (None = whole frame at once); see render_frame
+    chunk_pixels: Optional[int] = None
 
     @property
     def tex_kinds_present(self):

@@ -307,25 +307,15 @@ def _combine_stereo(left, right):
 AA_KERNEL = ((0.3, 0.3), (0.6, 0.0), (0.0, 0.6), (0.6, 0.6))
 
 
-def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
-    """Full-frame render -> float [H, W, 3].  Jit with static_argnums=1 (see
-    build_render_fn)."""
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    dt = packed.node_matrix.dtype
-    W, H = static.width, static.height
-    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=dt), jnp.arange(W, dtype=dt), indexing="ij")
-    xf = xs.reshape(-1)
-    yf = ys.reshape(-1)
-
+def _render_pixels(packed: ScenePacked, static: SceneStatic, frame, xf, yf, key):
+    """Base sample + AA taps for one flat pixel batch."""
     key, k0 = jax.random.split(key)
-    frame = begin_frame(packed.camera, W / H)
     img = render_samples(packed, static, frame, xf, yf, k0)
 
     if static.aa_enabled:
         # The 4 extra AA kernel taps as a lax.scan over the offsets: one
         # compiled sample body instead of 4 inlined pipeline copies.
-        offsets = jnp.asarray(AA_KERNEL, dtype=dt)
+        offsets = jnp.asarray(AA_KERNEL, dtype=xf.dtype)
 
         def aa_body(carry, off):
             key, acc = carry
@@ -335,8 +325,43 @@ def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
 
         (_, acc), _ = jax.lax.scan(aa_body, (key, img), offsets)
         img = acc / 5.0
+    return img
 
-    return img.reshape(H, W, 3)
+
+def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
+    """Full-frame render -> float [H, W, 3].  Jit with static_argnums=1 (see
+    build_render_fn).
+
+    With static.chunk_pixels set, the flat pixel batch is processed in
+    lax.map slabs of that many rays: peak HBM usage is bounded by the slab
+    size instead of the frame size (the reference's 48x48 bucket
+    decomposition, renderer.d:194-213, reborn as a memory knob)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    dt = packed.node_matrix.dtype
+    W, H = static.width, static.height
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=dt), jnp.arange(W, dtype=dt), indexing="ij")
+    xf = xs.reshape(-1)
+    yf = ys.reshape(-1)
+    frame = begin_frame(packed.camera, W / H)
+
+    if not static.chunk_pixels or static.chunk_pixels >= W * H:
+        img = _render_pixels(packed, static, frame, xf, yf, key)
+        return img.reshape(H, W, 3)
+
+    c = static.chunk_pixels
+    n = W * H
+    pad = (-n) % c
+    xf = jnp.concatenate([xf, jnp.zeros(pad, dtype=dt)]).reshape(-1, c)
+    yf = jnp.concatenate([yf, jnp.zeros(pad, dtype=dt)]).reshape(-1, c)
+    keys = jax.random.split(key, xf.shape[0])
+
+    def body(args):
+        cx, cy, ck = args
+        return _render_pixels(packed, static, frame, cx, cy, ck)
+
+    img = jax.lax.map(body, (xf, yf, keys))
+    return img.reshape(-1, 3)[:n].reshape(H, W, 3)
 
 
 def build_render_fn(static: SceneStatic):

@@ -1,0 +1,154 @@
+"""Inverse rendering (grad/) tests: parameter recovery, masking,
+checkpoint/resume."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chess2rt_tpu.grad import InverseProblem, fit, load_pytree, save_pytree
+from chess2rt_tpu.models.packed import pack_scene
+from chess2rt_tpu.render.pipeline import render_frame
+from chess2rt_tpu.scene.loader import parse_scene_from_file
+
+
+@pytest.fixture(scope="module")
+def setup(data_dir):
+    sc = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
+    sc.settings.frameWidth, sc.settings.frameHeight = 24, 16
+    sc.camera.set_frame_size(24, 16)
+    sc.settings.AAEnabled = False
+    packed, static = pack_scene(sc, dtype=jnp.float32)
+    target = render_frame(packed, static, jax.random.PRNGKey(0))
+    return packed, static, target
+
+
+class TestFit:
+    def test_recovers_checker_color(self, setup):
+        packed, static, target = setup
+        # perturb the checker's second color and recover it
+        wrong = dataclasses.replace(packed, checker_c2=packed.checker_c2 * 0.3)
+        prob = InverseProblem(
+            static=static, target=target, train_fields=("checker_c2",), learning_rate=5e-2, steps=60
+        )
+        fitted, losses = fit(wrong, prob)
+        assert losses[-1] < losses[0] * 0.05
+        np.testing.assert_allclose(
+            np.asarray(fitted.checker_c2), np.asarray(packed.checker_c2), atol=0.05
+        )
+
+    def test_recovers_light_power(self, setup):
+        packed, static, target = setup
+        wrong = dataclasses.replace(packed, light_power=packed.light_power * 0.4)
+        # optimize in a well-scaled space by training power via its gradient
+        prob = InverseProblem(
+            static=static, target=target, train_fields=("light_power",), learning_rate=2e3, steps=80
+        )
+        fitted, losses = fit(wrong, prob)
+        assert losses[-1] < losses[0] * 0.1
+        np.testing.assert_allclose(
+            float(fitted.light_power[0]), float(packed.light_power[0]), rtol=0.05
+        )
+
+    def test_grad_masking_freezes_other_fields(self, setup):
+        packed, static, target = setup
+        wrong = dataclasses.replace(packed, checker_c2=packed.checker_c2 * 0.5)
+        prob = InverseProblem(
+            static=static, target=target, train_fields=("checker_c2",), learning_rate=5e-2, steps=3
+        )
+        fitted, _ = fit(wrong, prob)
+        np.testing.assert_array_equal(np.asarray(fitted.light_power), np.asarray(packed.light_power))
+        np.testing.assert_array_equal(np.asarray(fitted.plane_y), np.asarray(packed.plane_y))
+        np.testing.assert_array_equal(
+            np.asarray(fitted.camera.fov), np.asarray(packed.camera.fov)
+        )
+
+
+class TestSpherePositionRecovery:
+    def _scene(self, data_dir):
+        from chess2rt_tpu.models import types as T
+
+        sc = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
+        sc.settings.frameWidth, sc.settings.frameHeight = 32, 24
+        sc.camera.set_frame_size(32, 24)
+        sc.settings.AAEnabled = False
+        ball = T.Node(
+            name="ball",
+            geometry=T.Sphere(name="b", center=(0.0, 60.0, 150.0), R=40.0),
+            shader=T.Lambert(name="red", color=(0.9, 0.1, 0.1)),
+        )
+        sc.nodes.append(ball)
+        return pack_scene(sc, dtype=jnp.float32)
+
+    def test_recover_sphere_center(self, data_dir):
+        """BASELINE config #5: geometry positions are trainable through the
+        smooth shading terms.  Silhouette pixels are piecewise-constant in
+        position (gradient zero — the documented differentiable-rendering
+        compromise, SURVEY.md §7.0), so recovery is validated for a small
+        displacement where interior shading dominates the loss."""
+        packed, static = self._scene(data_dir)
+        target = render_frame(packed, static, jax.random.PRNGKey(0))
+
+        moved = dataclasses.replace(
+            packed, sphere_center=packed.sphere_center + jnp.asarray([[1.5, 0.0, 0.0]])
+        )
+        prob = InverseProblem(
+            static=static, target=target, train_fields=("sphere_center",), learning_rate=0.2, steps=150
+        )
+        fitted, losses = fit(moved, prob)
+        assert losses[-1] < losses[0] * 0.75
+        # must recover most of the 1.5-unit offset
+        err = abs(float(fitted.sphere_center[0, 0]) - float(packed.sphere_center[0, 0]))
+        assert err < 0.75, err
+
+    def test_sphere_center_grad_matches_fd(self, data_dir):
+        """Sub-pixel FD check on the position gradient (BASELINE:
+        'gradients verified against finite differences' — geometry params
+        checked at perturbations that keep the discrete structure fixed)."""
+        packed, static = self._scene(data_dir)
+        target = render_frame(packed, static, jax.random.PRNGKey(0)) * 0.9
+        key = jax.random.PRNGKey(0)
+
+        def loss_cx(cx):
+            p = dataclasses.replace(
+                packed, sphere_center=packed.sphere_center.at[0, 0].set(cx)
+            )
+            return ((render_frame(p, static, key) - target) ** 2).mean()
+
+        c0 = packed.sphere_center[0, 0]
+        g = jax.grad(loss_cx)(c0)
+        h = 0.05
+        fd = (loss_cx(c0 + h) - loss_cx(c0 - h)) / (2 * h)
+        # FD crosses silhouette boundaries the analytic grad can't see, so
+        # agreement is approximate but must have the right sign + magnitude
+        np.testing.assert_allclose(float(g), float(fd), rtol=0.35)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, setup, tmp_path):
+        packed, _, _ = setup
+        p = str(tmp_path / "ckpt.npz")
+        save_pytree(p, packed, step=7)
+        loaded, step = load_pytree(p, packed)
+        assert step == 7
+        for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(packed)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fit_resume(self, setup, tmp_path):
+        packed, static, target = setup
+        ck = str(tmp_path / "fit.npz")
+        wrong = dataclasses.replace(packed, checker_c2=packed.checker_c2 * 0.3)
+        prob = dataclasses.replace(
+            InverseProblem(static=static, target=target, train_fields=("checker_c2",),
+                           learning_rate=5e-2, steps=10),
+            checkpoint_path=ck, checkpoint_every=5,
+        )
+        fit(wrong, prob)
+        assert os.path.exists(ck)
+        # resuming continues from step 10 (i.e. performs 10 more steps up to 20)
+        prob2 = dataclasses.replace(prob, steps=20)
+        fitted2, losses2 = fit(wrong, prob2)
+        assert len(losses2) == 10  # steps 10..19 only
