@@ -97,6 +97,9 @@ class ScenePacked:
     bitmap_atlas: Any
     bitmap_hw: Any  # [Tb, 2] float (h, w) — float so UV scaling stays traced
 
+    # environment cubemap [6, S, S, 3] (zeros-shaped [0,1,1,3] when absent)
+    env_cubemap: Any
+
     ambient: Any  # [3]
     camera: CameraPacked
 
@@ -123,6 +126,7 @@ class SceneStatic:
     n_lights: int
     width: int
     height: int
+    has_env: bool = False
     max_trace_depth: int = 4
     aa_enabled: bool = True
     dof: bool = False
@@ -322,6 +326,11 @@ def pack_scene(scene: T.Scene, dtype=jnp.float32) -> Tuple[ScenePacked, SceneSta
         bitmap_scaling=f(bitmap_scaling),
         bitmap_atlas=f(atlas),
         bitmap_hw=f(hw),
+        env_cubemap=f(
+            scene.environment.cubemap
+            if scene.environment.cubemap is not None
+            else np.zeros((0, 1, 1, 3), dtype=np.float32)
+        ),
         ambient=f(s.ambientLightColor),
         camera=CameraPacked(
             pos=f(cam.pos),
@@ -340,6 +349,7 @@ def pack_scene(scene: T.Scene, dtype=jnp.float32) -> Tuple[ScenePacked, SceneSta
         n_lights=len(lights),
         width=s.frameWidth,
         height=s.frameHeight,
+        has_env=scene.environment.cubemap is not None,
         max_trace_depth=s.maxTraceDepth,
         aa_enabled=s.AAEnabled,
         dof=cam.dof,

@@ -33,7 +33,9 @@ INF = 1e30
 
 
 def _norm(v):
-    return v / jnp.sqrt((v * v).sum(-1, keepdims=True))
+    # tiny floor keeps dead-lane zero vectors NaN-free (their results are
+    # masked out); real geometry normals/directions are far above it
+    return v / jnp.sqrt(jnp.maximum((v * v).sum(-1, keepdims=True), 1e-30))
 
 
 def dot(a, b):
@@ -49,10 +51,12 @@ def plane_closest(y, limit, orig, dir):
     """Plane candidate.  Returns a hit dict with dist=INF on miss."""
     oy, dy = orig[..., 1], dir[..., 1]
     miss = ((oy > y) & (dy > -1e-9)) | ((oy < y) & (dy < 1e-9))
-    mult = (oy - y) / -dy
+    # guarded reciprocal: dy == 0 lanes are all misses (or the measure-zero
+    # in-plane ray, excluded below) — keep them finite for nan-sweeps
+    nonzero = dy != 0
+    mult = (oy - y) * jnp.where(nonzero, -1.0 / jnp.where(nonzero, dy, 1.0), 0.0)
     p = orig + dir * mult[..., None]
-    ok = ~miss & (jnp.abs(p[..., 0]) <= limit) & (jnp.abs(p[..., 2]) <= limit)
-    ok &= jnp.isfinite(mult)
+    ok = ~miss & nonzero & (jnp.abs(p[..., 0]) <= limit) & (jnp.abs(p[..., 2]) <= limit)
     dist = jnp.where(ok, mult, INF)
     n = jnp.zeros_like(p).at[..., 1].set(1.0)
     return {"dist": dist, "p": p, "normal": n, "u": p[..., 0], "v": p[..., 2]}
@@ -110,7 +114,8 @@ def _cube_face_candidates(center, side, orig, dir):
         d_k = dir[..., axis]
         o_k = orig[..., axis]
         valid = jnp.abs(d_k) >= 1e-9
-        mult = (o_k - (center[..., axis] + s * half)) / -d_k
+        inv_d = jnp.where(valid, -1.0 / jnp.where(valid, d_k, 1.0), 0.0)
+        mult = (o_k - (center[..., axis] + s * half)) * inv_d
         p = orig + dir * mult[..., None]
         oa, ob = (axis + 1) % 3, (axis + 2) % 3
         inside = (

@@ -618,9 +618,9 @@ class OracleRenderer:
         # lights never claim hits (PointLight.intersect is false, light.d:67-70)
         out = np.zeros((n, 3))
         miss = win < 0
+        # miss -> black (environment.d:5-15) or the cubemap skybox extension
         if miss.any() and self.scene.environment.cubemap is not None:
-            raise NotImplementedError("cubemap environment in oracle")
-        # miss -> black (environment.d:5-15)
+            out[miss] = sample_cubemap_np(self.scene.environment.cubemap, dir[miss])
         for i, node in enumerate(self.scene.nodes):
             m = win == i
             if not m.any():
@@ -781,6 +781,36 @@ class OracleRenderer:
 
     def render_u8(self) -> np.ndarray:
         return srgb_u8(self.render().astype(np.float32))
+
+
+def sample_cubemap_np(cubemap: np.ndarray, dir: np.ndarray) -> np.ndarray:
+    """NumPy mirror of ops/env.py sample_cubemap (same face layout/filter)."""
+    x, y, z = dir[:, 0], dir[:, 1], dir[:, 2]
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (ay > ax) & (ay >= az)
+    face = np.where(is_x, np.where(x > 0, 0, 1),
+                    np.where(is_y, np.where(y > 0, 2, 3), np.where(z > 0, 4, 5))).astype(np.int64)
+    ma = np.where(is_x, ax, np.where(is_y, ay, az))
+    sc = np.where(is_x, np.where(x > 0, -z, z), np.where(is_y, x, np.where(z > 0, x, -x)))
+    tc = np.where(is_x, -y, np.where(is_y, np.where(y > 0, z, -z), -y))
+    s = (sc / ma + 1.0) * 0.5
+    t = (tc / ma + 1.0) * 0.5
+    size = cubemap.shape[1]
+    fx = s * (size - 1)
+    fy = t * (size - 1)
+    x0 = np.clip(np.floor(fx), 0, size - 1).astype(np.int64)
+    y0 = np.clip(np.floor(fy), 0, size - 1).astype(np.int64)
+    x1 = np.minimum(x0 + 1, size - 1)
+    y1 = np.minimum(y0 + 1, size - 1)
+    p = (fx - x0)[:, None]
+    q = (fy - y0)[:, None]
+    return (
+        cubemap[face, y0, x0] * (1 - p) * (1 - q)
+        + cubemap[face, y0, x1] * p * (1 - q)
+        + cubemap[face, y1, x0] * (1 - p) * q
+        + cubemap[face, y1, x1] * p * q
+    )
 
 
 def _subset(rec: HitRecord, m) -> HitRecord:

@@ -73,7 +73,13 @@ def _whitted_round(packed, static, shader_kind_tab, color, atten, alive, orig, d
     direct = S.shade_direct(packed, static, dir, hit, winc)
     is_direct = (skind == LAMBERT) | (skind == PHONG)
     color = color + atten * jnp.where((hitmask & is_direct)[..., None], direct, 0.0)
-    # miss -> environment, which is black (environment.d:5-15)
+    # miss -> environment: black in the reference (environment.d:5-15);
+    # cubemap skybox when the scene provides one (ops/env.py extension)
+    if static.has_env:
+        from ..ops.env import sample_cubemap
+
+        env = sample_cubemap(packed.env_cubemap, dir)
+        color = color + atten * jnp.where((alive & (win < 0))[..., None], env, 0.0)
 
     if stats is not None:
         stats["shadow"] = stats.get("shadow", 0.0) + (hitmask & is_direct).sum() * static.n_lights
@@ -204,6 +210,12 @@ def trace_path(packed: ScenePacked, static: SceneStatic, orig, dir, key):
         diffuse = S.texture_color(packed, static, winc, hit["u"], hit["v"])
 
         mult_eff = jnp.ones_like(mult) if static.gi_multiplier_quirk else mult
+
+        if static.has_env:
+            from ..ops.env import sample_cubemap
+
+            env = sample_cubemap(packed.env_cubemap, dir)
+            acc = acc + jnp.where((alive & (win < 0))[..., None], mult_eff * env, 0.0)
 
         if static.gi_point_light_direct:
             shade_from = hit["p"] + N * eps

@@ -218,6 +218,35 @@ def _load_camera(node: DscNode, ctx: LoadContext) -> T.Camera:
     return c
 
 
+def _load_environment(node: DscNode, ctx: LoadContext) -> T.Environment:
+    """Environment section.  The reference's Environment is a stub that
+    always returns black (environment.d:5-15); the `cubemap` property is
+    this framework's skybox extension: a path prefix resolving to
+    <prefix><face>.bmp for faces posx/negx/posy/negy/posz/negz, decoded
+    with `assumedGamma` like BitmapTexture (2.2 = sRGB)."""
+    env = T.Environment()
+    prefix = ctx.get_str(node, "cubemap")
+    if not prefix:
+        return env
+    gamma = ctx.get_scalar(node, "assumedGamma", 2.2, float)
+    from ..imageio import load_bmp_file
+
+    faces = []
+    for face in ("posx", "negx", "posy", "negy", "posz", "negz"):
+        path = ctx.resolve_relative_path(prefix + face + ".bmp")
+        rgb = load_bmp_file(path).to_float_rgb()
+        if gamma == 2.2:
+            rgb = decompress_gamma_srgb(rgb)
+        elif gamma != 1 and 0 < gamma < 10:
+            rgb = decompress_gamma(rgb, gamma)
+        faces.append(rgb)
+    shapes = {f.shape for f in faces}
+    if len(shapes) != 1 or faces[0].shape[0] != faces[0].shape[1]:
+        raise InvalidSceneException("cubemap faces must be square and same-size")
+    env.cubemap = np.stack(faces)
+    return env
+
+
 def _load_light(node: DscNode, ctx: LoadContext):
     kind = node.get_type()
     if kind != "PointLight":
@@ -367,7 +396,11 @@ def _load_scene(root: DscNode, ctx: LoadContext) -> T.Scene:
         scene.camera = _load_camera(root.get_child("Camera"), ctx)
     else:
         scene.camera = T.Camera()
-    scene.environment = T.Environment()
+    scene.environment = (
+        _load_environment(root.get_child("Environment"), ctx)
+        if root.is_specified("Environment")
+        else T.Environment()
+    )
 
     for section, kind, fn in _SECTION_LOADERS:
         if not root.is_specified(section):
