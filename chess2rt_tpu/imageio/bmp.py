@@ -199,13 +199,23 @@ def _dpi_to_ppm(dpi: float) -> int:
     return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
 
 
-def save_bmp(rgb: np.ndarray, pad_rows: bool = False) -> bytes:
+def save_bmp(rgb: np.ndarray, pad_rows: bool = False, use_native: bool = True) -> bytes:
     """Encode float32 rgb `[h, w, 3]` (y=0 top) as a 24-bpp V1 BMP.
 
     Byte-for-byte identical to the reference saveBmp (bmp.d:195-237) when
     `pad_rows=False` (its default behavior: no scanline padding).
+
+    Uses the native C++ encoder (native/framebuffer.cpp) when available —
+    byte-identical output, asserted by tests/test_native.py — with this
+    numpy implementation as the fallback/oracle.
     """
     rgb = np.asarray(rgb)
+    if use_native:
+        from ..native import bmp_encode
+
+        encoded = bmp_encode(rgb, pad_rows=pad_rows)
+        if encoded is not None:
+            return encoded
     h, w = rgb.shape[:2]
     row_bytes = w * 3
     pad = (-row_bytes) % 4 if pad_rows else 0
