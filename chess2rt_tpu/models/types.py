@@ -94,6 +94,31 @@ class Camera:
         self.frameHeight = int(height)
         self.aspect = float(width) / float(height)
 
+    # interactive controls (camera.d:176-229); the basis vectors mirror
+    # beginFrame's rotation (oracle/renderer.py begin_frame)
+    def _basis(self):
+        from ..utils import vec
+
+        rot = (
+            vec.rotate_z(vec.radians(self.roll))
+            @ vec.rotate_x(vec.radians(self.pitch))
+            @ vec.rotate_y(vec.radians(self.yaw))
+        )
+        return rot[0], rot[1], rot[2]  # right, up, front (row-vector basis)
+
+    def move(self, dx: float, dy: float, dz: float) -> None:
+        """dx right/left, dy up/down, dz forward/backward (camera.d:176-204)."""
+        right, up, front = self._basis()
+        pos = np.asarray(self.pos, dtype=np.float64)
+        self.pos = tuple(pos + dx * right + dy * up + dz * front)
+
+    def rotate(self, d_yaw: float, d_roll: float, d_pitch: float) -> None:
+        """Yaw/roll/pitch deltas in degrees; pitch clamps to ±90
+        (camera.d:206-229)."""
+        self.yaw += d_yaw
+        self.roll += d_roll
+        self.pitch = float(np.clip(self.pitch + d_pitch, -90.0, 90.0))
+
 
 @dataclass
 class Environment:
