@@ -56,8 +56,11 @@ def main():
     import dataclasses
 
     packed, static = build()
-    # forward-only early-exit rounds; 259200-ray slabs bound peak HBM
-    static = dataclasses.replace(static, fast_forward=True, chunk_pixels=259200)
+    # forward-only early-exit rounds; 259200-ray slabs bound peak HBM;
+    # bounce rounds compact to 1/4 of the slab (mirror coverage is ~5%)
+    static = dataclasses.replace(
+        static, fast_forward=True, chunk_pixels=259200, bounce_capacity=259200 // 4
+    )
     from chess2rt_tpu.render.pipeline import AA_KERNEL, begin_frame, render_frame, render_samples
 
     # The timed function reduces the frame to a checksum on-device: timing

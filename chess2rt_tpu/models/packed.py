@@ -143,6 +143,10 @@ class SceneStatic:
     # bound peak device memory: render the pixel batch in lax.map slabs of
     # this many rays (None = whole frame at once); see render_frame
     chunk_pixels: Optional[int] = None
+    # wavefront compaction (fast_forward only): bounce rounds 1+ run on a
+    # compacted ray buffer of this many lanes when the live set fits
+    # (lax.cond falls back to full width when it doesn't); None = off
+    bounce_capacity: Optional[int] = None
 
     @property
     def tex_kinds_present(self):

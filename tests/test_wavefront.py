@@ -1,0 +1,52 @@
+"""Wavefront driver equivalence: scan vs while_loop vs compacted rounds."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chess2rt_tpu.models import types as T
+from chess2rt_tpu.models.packed import pack_scene
+from chess2rt_tpu.render.pipeline import render_frame
+from chess2rt_tpu.scene.loader import parse_scene_from_file
+
+
+@pytest.fixture(scope="module")
+def mirror_scene(data_dir):
+    sc = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
+    sc.settings.frameWidth, sc.settings.frameHeight = 64, 48
+    sc.camera.set_frame_size(64, 48)
+    sc.settings.AAEnabled = False
+    m = T.Reflection(name="m", color=(0.9, 0.9, 0.9))
+    sc.nodes.append(T.Node(name="b1", geometry=T.Sphere(name="s1", center=(0, 60, 120), R=40.0), shader=m))
+    # second mirror so bounces beyond round 1 carry signal
+    sc.nodes.append(T.Node(name="b2", geometry=T.Sphere(name="s2", center=(60, 40, 180), R=30.0), shader=m))
+    return pack_scene(sc, dtype=jnp.float32)
+
+
+class TestDrivers:
+    def _render(self, packed, static, **kw):
+        st = dataclasses.replace(static, **kw)
+        return np.asarray(render_frame(packed, st, jax.random.PRNGKey(0)))
+
+    def test_while_matches_scan(self, mirror_scene):
+        packed, static = mirror_scene
+        a = self._render(packed, static, fast_forward=False)
+        b = self._render(packed, static, fast_forward=True)
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+    @pytest.mark.parametrize("cap", [768, 64 * 48])
+    def test_compaction_matches(self, mirror_scene, cap):
+        packed, static = mirror_scene
+        a = self._render(packed, static, fast_forward=False)
+        b = self._render(packed, static, fast_forward=True, bounce_capacity=cap)
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+    def test_compaction_overflow_falls_back_correctly(self, mirror_scene):
+        # cap=8 is far below the mirror coverage -> lax.cond full-width path
+        packed, static = mirror_scene
+        a = self._render(packed, static, fast_forward=False)
+        b = self._render(packed, static, fast_forward=True, bounce_capacity=8)
+        np.testing.assert_allclose(a, b, atol=2e-4)
