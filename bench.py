@@ -52,6 +52,54 @@ def build(width=WIDTH, height=HEIGHT):
     return pack_scene(sc, dtype=jnp.float32)
 
 
+def main_grad():
+    """Secondary metric (BASELINE.md): grad-rays/s — traced rays per second
+    for a full value_and_grad step (forward + backward through the whole
+    differentiable pipeline) on lecture5 at 640x480, AA off.
+
+    Prints one JSON line: {"metric": "grad_rays_per_sec", ...}."""
+    import dataclasses
+
+    from chess2rt_tpu.render.pipeline import render_frame
+    from chess2rt_tpu.utils.diagnostics import frame_ray_stats
+
+    w, h = 640, 480
+    packed, static = build(w, h)
+    static = dataclasses.replace(static, aa_enabled=False)
+    key = jax.random.PRNGKey(0)
+    target = jnp.zeros((h, w, 3), dtype=jnp.float32)
+
+    def loss(p):
+        return ((render_frame(p, static, key) - target) ** 2).mean()
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    l0, _ = vg(packed)  # compile
+    assert np.isfinite(float(l0))
+
+    times = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        l, g = vg(packed)
+        float(l)
+        float(jnp.sum(g.light_power))  # force the grad pytree
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    stats = frame_ray_stats(packed, static, key)
+    total = stats["total"]
+    print(
+        json.dumps(
+            {
+                "metric": "grad_rays_per_sec",
+                "value": round(total / dt, 1),
+                "unit": "rays/s (fwd+bwd)",
+                "vs_baseline": None,
+            }
+        )
+    )
+    print(f"# fwd+bwd step {dt*1000:.1f} ms, {total/1e6:.2f}M rays/frame", file=sys.stderr)
+
+
 def main():
     import dataclasses
 
@@ -122,4 +170,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--grad" in sys.argv:
+        main_grad()
+    else:
+        main()

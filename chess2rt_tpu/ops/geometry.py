@@ -392,14 +392,108 @@ def scene_closest(packed: ScenePacked, static, orig, dir):
     return best, win
 
 
+# --------------------------------------------------------------------------
+# Distance-only any-hit (shadow rays)
+# --------------------------------------------------------------------------
+#
+# Shadow tests only need "is there a hit with dist <= target" — none of the
+# record fields (normal/UV/p) the closest-hit path computes.  These
+# dist-only variants cut the shadow-scan cost roughly in half; the Shadow
+# RayFlags hint in the reference exists for exactly this reason (ray.d:15-17).
+
+
+def _plane_dist(y, limit, orig, dir):
+    oy, dy = orig[..., 1], dir[..., 1]
+    miss = ((oy > y) & (dy > -1e-9)) | ((oy < y) & (dy < 1e-9))
+    nonzero = dy != 0
+    mult = (oy - y) * jnp.where(nonzero, -1.0 / jnp.where(nonzero, dy, 1.0), 0.0)
+    px = orig[..., 0] + dir[..., 0] * mult
+    pz = orig[..., 2] + dir[..., 2] * mult
+    ok = ~miss & nonzero & (jnp.abs(px) <= limit) & (jnp.abs(pz) <= limit)
+    return jnp.where(ok, mult, INF)[..., None]  # [N, 1] hit list
+
+
+def _sphere_dists(center, r, orig, dir):
+    has, x1, x2 = _sphere_roots(center, r, orig, dir)
+    d2 = jnp.where(has & (x2 >= 0), x2, INF)
+    d1 = jnp.where(has & (x1 >= 0), x1, INF)
+    return jnp.stack([d2, d1], axis=-1)
+
+
+def _cube_dists(center, side, orig, dir):
+    half = side * 0.5
+    dists = []
+    for axis, s, _, _ in _CUBE_FACES:
+        d_k = dir[..., axis]
+        o_k = orig[..., axis]
+        valid = jnp.abs(d_k) >= 1e-9
+        inv_d = jnp.where(valid, -1.0 / jnp.where(valid, d_k, 1.0), 0.0)
+        mult = (o_k - (center[..., axis] + s * half)) * inv_d
+        p = orig + dir * mult[..., None]
+        oa, ob = (axis + 1) % 3, (axis + 2) % 3
+        inside = (
+            (p[..., oa] >= center[..., oa] - half)
+            & (p[..., oa] <= center[..., oa] + half)
+            & (p[..., ob] >= center[..., ob] - half)
+            & (p[..., ob] <= center[..., ob] + half)
+        )
+        ok = valid & (mult >= 0) & inside
+        dists.append(jnp.where(ok, mult, INF))
+    return jnp.sort(jnp.stack(dists, axis=-1), axis=-1)[..., :2]
+
+
+def all_hit_dists_expr(packed: ScenePacked, expr, orig, dir):
+    """Sorted hit distances only (the all_hits_expr parity walk without
+    record fields)."""
+    kind = expr[0]
+    if kind == "plane":
+        return _plane_dist(packed.plane_y[expr[1]], packed.plane_limit[expr[1]], orig, dir)
+    if kind == "sphere":
+        return _sphere_dists(packed.sphere_center[expr[1]], packed.sphere_r[expr[1]], orig, dir)
+    if kind == "cube":
+        return _cube_dists(packed.cube_center[expr[1]], packed.cube_side[expr[1]], orig, dir)
+    _, op, left, right = expr
+    ld = all_hit_dists_expr(packed, left, orig, dir)
+    rd = all_hit_dists_expr(packed, right, orig, dir)
+    kl = ld.shape[-1]
+    dist = jnp.concatenate([ld, rd], axis=-1)
+    order = jnp.argsort(dist, axis=-1)
+    sdist = jnp.take_along_axis(dist, order, axis=-1)
+    valid = sdist < INF
+    from_right = order >= kl
+    in_l0 = (ld < INF).sum(-1) % 2 == 1
+    in_r0 = (rd < INF).sum(-1) % 2 == 1
+    flips_l = jnp.cumsum((~from_right & valid).astype(jnp.int32), axis=-1)
+    flips_r = jnp.cumsum((from_right & valid).astype(jnp.int32), axis=-1)
+    in_l = in_l0[..., None] ^ (flips_l % 2 == 1)
+    in_r = in_r0[..., None] ^ (flips_r % 2 == 1)
+    state = _bool_op(op, in_l, in_r) & valid
+    return jnp.sort(jnp.where(state, sdist, INF), axis=-1)
+
+
+def node_closest_dist(packed: ScenePacked, node_static, node_idx, orig, dir):
+    """Closest-hit distance only, world space (the node.d:23-68 rescaling
+    without record transforms)."""
+    if node_static.identity_transform:
+        return all_hit_dists_expr(packed, node_static.geom, orig, dir)[..., 0]
+    offset = packed.node_offset[node_idx]
+    if node_static.offset_only:
+        return all_hit_dists_expr(packed, node_static.geom, orig - offset, dir)[..., 0]
+    m_inv = jnp.linalg.inv(packed.node_matrix[node_idx])
+    co = (orig - offset) @ m_inv
+    cd = dir @ m_inv
+    dlen = jnp.sqrt(dot(cd, cd))
+    d = all_hit_dists_expr(packed, node_static.geom, co, cd / dlen[..., None])[..., 0]
+    return jnp.where(d >= INF, INF, d / dlen)
+
+
 def test_visibility(packed: ScenePacked, static, from_p, to_p):
     """Scene.testVisibility (scene.d:62-78): True = unoccluded.  A single
-    batched any-hit pass over all nodes."""
+    batched dist-only any-hit pass over all nodes."""
     d = to_p - from_p
     target = jnp.sqrt(dot(d, d))
     dir = d / target[..., None]
     occluded = jnp.zeros(from_p.shape[:-1], dtype=bool)
     for i, ns in enumerate(static.nodes):
-        cand = node_closest(packed, ns, i, from_p, dir)
-        occluded |= cand["dist"] <= target
+        occluded |= node_closest_dist(packed, ns, i, from_p, dir) <= target
     return ~occluded
