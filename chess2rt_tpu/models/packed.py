@@ -147,6 +147,10 @@ class SceneStatic:
     # compacted ray buffer of this many lanes when the live set fits
     # (lax.cond falls back to full width when it doesn't); None = off
     bounce_capacity: Optional[int] = None
+    # False stops gradients at the bitmap texel atlas: its VJP is a
+    # per-ray scatter-add (slow on TPU); disable when texels aren't being
+    # optimized
+    train_textures: bool = True
 
     @property
     def tex_kinds_present(self):

@@ -14,6 +14,7 @@ atlas gather.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,36 +62,61 @@ def node_kind_tables(static: SceneStatic):
     return jnp.asarray(shader_kind), jnp.asarray(tex_kind), jnp.asarray(bitmap_idx)
 
 
+def node_onehot(static: SceneStatic, winc):
+    """[N, Nn] one-hot of the winning node id.
+
+    Node-table lookups go through this as contractions (onehot @ table)
+    instead of index-gathers: the VJP of a gather is a per-ray scatter-add
+    (very slow on TPU), while the VJP of the contraction is a matmul on
+    the MXU.  Forward cost is negligible at scene-sized tables."""
+    n_nodes = max(len(static.nodes), 1)
+    return (winc[..., None] == jnp.arange(n_nodes)).astype(jnp.float32)
+
+
+def node_gather(onehot, table):
+    """Per-ray row of a [Nn, ...] node table via one-hot contraction."""
+    flat = table.reshape(table.shape[0], -1)
+    out = onehot.astype(table.dtype) @ flat
+    return out.reshape(onehot.shape[:-1] + table.shape[1:])
+
+
 # --------------------------------------------------------------------------
 # Textures (texture.d:20-162, bitmap.d:48-63)
 # --------------------------------------------------------------------------
 
 
-def texture_color(packed: ScenePacked, static: SceneStatic, winc, u, v):
+def texture_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=None):
     """Per-ray diffuse color: flat material color or the node's texture.
-    ``winc`` is the winning node id clipped to >= 0."""
+    ``winc`` is the winning node id clipped to >= 0; node-table lookups go
+    through the one-hot contraction (see node_onehot)."""
     _, tex_kind_tab, bitmap_idx_tab = node_kind_tables(static)
+    if onehot is None:
+        onehot = node_onehot(static, winc)
     tk = tex_kind_tab[winc]
-    out = packed.mat_color[winc]
+    out = node_gather(onehot, packed.mat_color)
     present = static.tex_kinds_present
 
     if TEX_CHECKER in present:
-        size = packed.checker_size[winc]
+        size = node_gather(onehot, packed.checker_size)
         x = jnp.floor(u / size).astype(jnp.int32)
         y = jnp.floor(v / size).astype(jnp.int32)
         # D's signed %2 marks exactly the same squares as (x+y) & 1
         # (texture.d:48-53; see oracle tex_color for the equivalence).
         white = ((x + y) & 1).astype(bool)
-        checker = jnp.where(white[..., None], packed.checker_c2[winc], packed.checker_c1[winc])
+        checker = jnp.where(
+            white[..., None],
+            node_gather(onehot, packed.checker_c2),
+            node_gather(onehot, packed.checker_c1),
+        )
         out = jnp.where((tk == TEX_CHECKER)[..., None], checker, out)
 
     if TEX_PROC2 in present:
         # sum_i colorU[i]*sin(u*freqU[i]) + colorV[i]*sin(v*freqV[i])
         # (texture.d:77-85), batched over the 3 bands.
-        su = jnp.sin(u[..., None] * packed.proc2_freq_u[winc])  # [N, 3]
-        sv = jnp.sin(v[..., None] * packed.proc2_freq_v[winc])
-        proc = (packed.proc2_color_u[winc] * su[..., None]).sum(-2) + (
-            packed.proc2_color_v[winc] * sv[..., None]
+        su = jnp.sin(u[..., None] * node_gather(onehot, packed.proc2_freq_u))  # [N, 3]
+        sv = jnp.sin(v[..., None] * node_gather(onehot, packed.proc2_freq_v))
+        proc = (node_gather(onehot, packed.proc2_color_u) * su[..., None]).sum(-2) + (
+            node_gather(onehot, packed.proc2_color_v) * sv[..., None]
         ).sum(-2)
         out = jnp.where((tk == TEX_PROC2)[..., None], proc, out)
 
@@ -98,7 +124,7 @@ def texture_color(packed: ScenePacked, static: SceneStatic, winc, u, v):
         b = bitmap_idx_tab[winc]
         hw = packed.bitmap_hw[b]
         h, w = hw[..., 0], hw[..., 1]
-        scaling = packed.bitmap_scaling[winc]
+        scaling = node_gather(onehot, packed.bitmap_scaling)
         uu = u * scaling
         vv = v * scaling
         uu = uu - jnp.floor(uu)
@@ -116,6 +142,8 @@ def texture_color(packed: ScenePacked, static: SceneStatic, winc, u, v):
         ixn = jnp.where(ixi + 1 >= wi, 0, ixi + 1)  # edge wrap (bitmap.d:55-56)
         iyn = jnp.where(iyi + 1 >= hi, 0, iyi + 1)
         atlas = packed.bitmap_atlas
+        if not static.train_textures:
+            atlas = jax.lax.stop_gradient(atlas)
         bil = (
             atlas[b, iyi, ixi] * (1 - p) * (1 - q)
             + atlas[b, iyi, ixn] * p * (1 - q)
@@ -140,8 +168,9 @@ def shade_direct(packed: ScenePacked, static: SceneStatic, ray_dir, hit, winc):
     term is masked to Phong-shaded rays via the node kind table."""
     shader_kind_tab, _, _ = node_kind_tables(static)
     skind = shader_kind_tab[winc]
+    onehot = node_onehot(static, winc)
     N = faceforward(ray_dir, hit["normal"])
-    diffuse = texture_color(packed, static, winc, hit["u"], hit["v"])
+    diffuse = texture_color(packed, static, winc, hit["u"], hit["v"], onehot)
 
     has_phong = PHONG in static.shader_kinds_present
     lam = jnp.zeros_like(hit["p"])
@@ -165,8 +194,10 @@ def shade_direct(packed: ScenePacked, static: SceneStatic, ray_dir, hit, winc):
             # R = reflect(-lightDir, N) is normalized (imported_types.d:62-67)
             R = _norm(-light_dir - 2.0 * dot(-light_dir, N)[..., None] * N)
             cos_gamma = dot(R, -ray_dir)
-            s = base * jnp.power(jnp.maximum(cos_gamma, 0.0), packed.mat_exponent[winc])[..., None]
-            s = s * packed.mat_strength[winc][..., None]
+            exponent = node_gather(onehot, packed.mat_exponent)
+            strength = node_gather(onehot, packed.mat_strength)
+            s = base * jnp.power(jnp.maximum(cos_gamma, 0.0), exponent)[..., None]
+            s = s * strength[..., None]
             spec = spec + jnp.where((vis & (cos_gamma > 0))[..., None], s, 0.0)
 
     out = diffuse * (packed.ambient + lam)

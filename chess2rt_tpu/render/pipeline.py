@@ -89,13 +89,14 @@ def _whitted_round(packed, static, shader_kind_tab, color, atten, alive, orig, d
     if not recursive:
         return color, atten, jnp.zeros_like(alive), orig, dir
 
+    onehot = S.node_onehot(static, winc)
     N = S.faceforward(dir, hit["normal"])
     refl_dir = _norm(dir - 2.0 * dot(dir, N)[..., None] * N)
     new_orig = hit["p"] + N * eps
     new_dir = refl_dir
 
     if REFRACTION in static.shader_kinds_present:
-        ior = packed.mat_ior[winc]
+        ior = S.node_gather(onehot, packed.mat_ior)
         cos_in = -dot(dir, hit["normal"])
         entering = cos_in > 0
         eta = jnp.where(entering, 1.0 / ior, ior)
@@ -111,7 +112,7 @@ def _whitted_round(packed, static, shader_kind_tab, color, atten, alive, orig, d
         new_orig = jnp.where(is_refr[..., None], refr_orig, new_orig)
 
     continuing = hitmask & ((skind == REFLECTION) | (skind == REFRACTION))
-    atten = atten * jnp.where(continuing[..., None], packed.mat_color[winc], 1.0)
+    atten = atten * jnp.where(continuing[..., None], S.node_gather(onehot, packed.mat_color), 1.0)
     orig = jnp.where(continuing[..., None], new_orig, orig)
     dir = jnp.where(continuing[..., None], new_dir, dir)
     return color, atten, continuing, orig, dir

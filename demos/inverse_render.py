@@ -16,6 +16,10 @@ import dataclasses
 import sys
 
 import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,6 +38,7 @@ def main():
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--distributed", action="store_true")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
@@ -44,20 +49,22 @@ def main():
     sc.nodes.append(
         T.Node(
             name="ball",
-            geometry=T.Sphere(name="b", center=(0.0, 60.0, 150.0), R=40.0),
+            geometry=T.Sphere(name="b", center=(0.0, 60.0, 350.0), R=40.0),
             shader=T.Lambert(name="red", color=(0.9, 0.1, 0.1)),
         )
     )
     packed, static = pack_scene(sc, dtype=jnp.float32)
     target = render_frame(packed, static, jax.random.PRNGKey(0))
 
-    # perturb: colors x0.4, light power x0.5, sphere shifted 1.5 units
+    # perturb: material colors x0.4, sphere shifted 10 units (~0.7 px at its
+    # distance) (BASELINE
+    # config #5: "recover material colors + sphere positions"; light power
+    # is left alone — color x power is a non-identifiable product)
     wrong = dataclasses.replace(
         packed,
         mat_color=packed.mat_color * 0.4,
         checker_c2=packed.checker_c2 * 0.4,
-        light_power=packed.light_power * 0.5,
-        sphere_center=packed.sphere_center + jnp.asarray([[1.5, 0.0, 0.0]]),
+        sphere_center=packed.sphere_center + jnp.asarray([[10.0, 0.0, 0.0]]),
     )
 
     mesh = None
@@ -67,25 +74,36 @@ def main():
         mesh = make_mesh()
         print(f"mesh: {mesh.devices.size} devices")
 
-    prob = InverseProblem(
-        static=static,
-        target=target,
-        train_fields=("mat_color", "checker_c2", "light_power", "sphere_center"),
-        learning_rate=2e-2,
-        steps=args.steps,
-        mesh=mesh,
-        checkpoint_path=args.checkpoint,
-    )
-    fitted, losses = fit(wrong, prob, on_step=lambda i, l: (i % 25 == 0) and print(f"step {i}: loss {l:.3e}"))
+    log = lambda i, l: (i % 25 == 0) and print(f"step {i}: loss {l:.3e}")  # noqa: E731
 
-    err_color = float(jnp.abs(fitted.mat_color - packed.mat_color).max())
-    err_pos = float(jnp.abs(fitted.sphere_center - packed.sphere_center).max())
-    rel_power = float(jnp.abs(fitted.light_power - packed.light_power) / packed.light_power)
-    print(
-        f"loss {losses[0]:.3e} -> {losses[-1]:.3e}; max color err {err_color:.3f}; "
-        f"sphere pos err {err_pos:.2f}; light power rel err {rel_power:.3f}"
+    # Alternate color and geometry phases (block-coordinate descent):
+    # colors take small steps, positions move in world units and need a
+    # ~10x larger step; alternating stops either from overfitting to the
+    # other's current error.
+    losses = []
+    fitted = wrong
+    color_prob = InverseProblem(
+        static=static, target=target, train_fields=("mat_color", "checker_c2"),
+        learning_rate=5e-2, steps=args.steps // 3, mesh=mesh,
     )
-    ok = losses[-1] < losses[0] * 0.1 and err_color < 0.2
+    pos_prob = dataclasses.replace(color_prob, train_fields=("sphere_center",), learning_rate=0.5)
+    for phase in range(3):
+        fitted, l1 = fit(fitted, color_prob, on_step=log)
+        fitted, l2 = fit(fitted, pos_prob, on_step=log)
+        losses += l1 + l2
+        print(f"-- alternation {phase}: loss {losses[-1]:.3e}")
+
+    # the floor's mat_color never touches the image (checker-textured,
+    # shader.d:74-76) and keeps zero gradient — compare the ball's only
+    ball_idx = len(sc.nodes) - 1
+    err_color = float(jnp.abs(fitted.mat_color[ball_idx] - packed.mat_color[ball_idx]).max())
+    err_checker = float(jnp.abs(fitted.checker_c2 - packed.checker_c2).max())
+    err_pos = float(jnp.abs(fitted.sphere_center - packed.sphere_center).max())
+    print(
+        f"loss {losses[0]:.3e} -> {losses[-1]:.3e}; ball color err {err_color:.3f}; "
+        f"checker err {err_checker:.3f}; sphere pos err {err_pos:.2f} (from 10.0)"
+    )
+    ok = losses[-1] < losses[0] * 0.05 and err_color < 0.1 and err_checker < 0.1 and err_pos < 5.0
     print("RECOVERED" if ok else "FAILED")
     return 0 if ok else 1
 
