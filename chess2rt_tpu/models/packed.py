@@ -151,6 +151,9 @@ class SceneStatic:
     # per-ray scatter-add (slow on TPU); disable when texels aren't being
     # optimized
     train_textures: bool = True
+    # forward-only: use the fused Pallas primary kernel when the scene is
+    # supported (ops/pallas_trace.supports); ignored otherwise
+    use_pallas: bool = False
 
     @property
     def tex_kinds_present(self):

@@ -177,15 +177,21 @@ def build_primary_kernel(static: SceneStatic, width: int, height: int, interpret
 
     # --- parameter vector layout -----------------------------------------
     # [0:21)  camera: up_left(3) dx_vec(3) dy_vec(3) pos(3) ambient(3)
-    #         per-light stride 6: pos(3) colorxpower(3)
-    # per-node stride 16: geom params(8) mat color(3) exponent strength
-    #         checker c1/c2/size proc2... (packed below)
-    def pack_params(packed: ScenePacked):
+    #         then AA sub-pixel offset (2), then per-light stride 6:
+    #         pos(3) colorxpower(3); per-node stride 40 (see NODE_STRIDE)
+    def pack_params(packed: ScenePacked, offset=(0.0, 0.0)):
         frame = begin_frame(packed.camera, width / height)
         up_left = frame["up_left"]
         dxv = (frame["up_right"] - frame["up_left"]) / width
         dyv = (frame["down_left"] - frame["up_left"]) / height
-        parts = [up_left, dxv, dyv, frame["pos"], packed.ambient]
+        parts = [
+            up_left,
+            dxv,
+            dyv,
+            frame["pos"],
+            packed.ambient,
+            jnp.asarray(offset, dtype=jnp.float32).reshape(2),
+        ]
         for li in range(static.n_lights):
             parts.append(packed.light_pos[li])
             parts.append(packed.light_color[li] * packed.light_power[li])
@@ -215,7 +221,7 @@ def build_primary_kernel(static: SceneStatic, width: int, height: int, interpret
         return jnp.concatenate([p.reshape(-1).astype(jnp.float32) for p in parts])
 
     NODE_STRIDE = 4 + 3 + 2 + 3 + 3 + 1 + 9 + 9 + 3 + 3  # 40
-    LIGHT_BASE = 15
+    LIGHT_BASE = 17  # after camera(15) + offset(2)
     NODE_BASE = LIGHT_BASE + 6 * static.n_lights
 
     def node_off(i):
@@ -229,10 +235,10 @@ def build_primary_kernel(static: SceneStatic, width: int, height: int, interpret
         lin = base + jax.lax.broadcasted_iota(jnp.int32, TILE, 0) * TILE[1] + jax.lax.broadcasted_iota(
             jnp.int32, TILE, 1
         )
-        xpix = (lin % width).astype(jnp.float32)
-        ypix = (lin // width).astype(jnp.float32)
-
         p = lambda k: prm_ref[k]  # noqa: E731
+
+        xpix = (lin % width).astype(jnp.float32) + p(15)  # AA sub-pixel offset
+        ypix = (lin // width).astype(jnp.float32) + p(16)
 
         # ray-gen (camera.d:119-147): target = upLeft + dxv*x + dyv*y
         tx = p(0) + p(3) * xpix + p(6) * ypix
@@ -376,8 +382,8 @@ def build_primary_kernel(static: SceneStatic, width: int, height: int, interpret
     n_prm = NODE_BASE + NODE_STRIDE * len(static.nodes)
 
     @jax.jit
-    def render(packed: ScenePacked):
-        prm = pack_params(packed)
+    def render(packed: ScenePacked, offset=jnp.zeros(2, dtype=jnp.float32)):
+        prm = pack_params(packed, offset)
         r, g, b = pl.pallas_call(
             kernel,
             grid=grid,

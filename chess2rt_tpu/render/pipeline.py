@@ -394,6 +394,19 @@ def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
         key = jax.random.PRNGKey(0)
     dt = packed.node_matrix.dtype
     W, H = static.width, static.height
+
+    if static.use_pallas and dt == jnp.float32 and jax.default_backend() == "tpu":
+        from ..ops import pallas_trace as PT
+
+        if PT.supports(static):
+            fn = PT.build_primary_kernel(static, W, H)
+            img = fn(packed)
+            if static.aa_enabled:
+                for kx, ky in AA_KERNEL:
+                    img = img + fn(packed, jnp.asarray([kx, ky], dtype=jnp.float32))
+                img = img / 5.0
+            return img.reshape(H, W, 3)
+
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=dt), jnp.arange(W, dtype=dt), indexing="ij")
     xf = xs.reshape(-1)
     yf = ys.reshape(-1)
