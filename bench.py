@@ -65,7 +65,8 @@ def main_grad():
 
     w, h = 640, 480
     packed, static = build(w, h)
-    static = dataclasses.replace(static, aa_enabled=False)
+    # compaction is differentiable (cond/gather/scatter all have VJPs)
+    static = dataclasses.replace(static, aa_enabled=False, bounce_capacity=w * h // 4)
     key = jax.random.PRNGKey(0)
     target = jnp.zeros((h, w, 3), dtype=jnp.float32)
 

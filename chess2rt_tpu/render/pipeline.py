@@ -155,9 +155,11 @@ def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir, stats=Non
                 break
         return carry[0]
 
-    if static.fast_forward:
+    def run_rounds(carry, n_rounds):
+        """Remaining wavefront rounds: early-exit while_loop when
+        forward-only, reverse-differentiable lax.scan otherwise."""
+        if static.fast_forward:
 
-        def run_rounds(carry, n_rounds):
             def cond(state):
                 r, (_, _, alive, _, _) = state
                 return (r < n_rounds) & alive.any()
@@ -169,51 +171,52 @@ def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir, stats=Non
             _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
             return out
 
-        n = int(np.prod(orig.shape[:-1]))
-        cap = static.bounce_capacity
-        if not cap or cap >= n or orig.ndim != 2:
-            carry = run_rounds(carry, rounds)
-            return carry[0]
+        def scan_body(c, _):
+            return _whitted_round(packed, static, shader_kind_tab, *c, True), None
 
-        # Round 0 at full width, then compact the (monotonically shrinking)
-        # live set into a `cap`-lane buffer for the remaining rounds —
-        # SURVEY.md §7.2 #4: masked-lane waste vs compaction.  When the
-        # live set overflows the capacity, lax.cond falls back to
-        # full-width rounds (correctness never depends on the bound).
-        carry = _whitted_round(packed, static, shader_kind_tab, *carry, True)
-        color, atten, alive, orig, dir = carry
-        count = alive.sum()
+        out, _ = jax.lax.scan(scan_body, carry, None, length=n_rounds)
+        return out
 
-        def full_path(color, atten, alive, orig, dir):
-            out = run_rounds((jnp.zeros_like(color), atten, alive, orig, dir), rounds - 1)
-            return color + out[0]
+    n = int(np.prod(orig.shape[:-1]))
+    cap = static.bounce_capacity
+    if not cap or cap >= n or orig.ndim != 2:
+        return run_rounds(carry, rounds)[0]
 
-        def compact_path(color, atten, alive, orig, dir):
-            idx = jnp.arange(n, dtype=jnp.int32)
-            pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
-            sel = (
-                jnp.zeros(cap, dtype=jnp.int32)
-                .at[jnp.where(alive, pos, cap)]
-                .set(idx, mode="drop")
-            )
-            lane_live = jnp.arange(cap) < count  # slots past the live set are dead
-            sub = (
-                jnp.zeros((cap, 3), dtype=color.dtype),
-                atten[sel],
-                lane_live,
-                orig[sel],
-                dir[sel],
-            )
-            out = run_rounds(sub, rounds - 1)
-            return color.at[sel].add(jnp.where(lane_live[..., None], out[0], 0.0))
+    # Round 0 at full width, then compact the (monotonically shrinking)
+    # live set into a `cap`-lane buffer for the remaining rounds —
+    # SURVEY.md §7.2 #4: masked-lane waste vs compaction.  When the live
+    # set overflows the capacity, lax.cond falls back to full-width rounds
+    # (correctness never depends on the bound).  cond, gather and
+    # scatter-add are all reverse-differentiable, so this also accelerates
+    # inverse rendering.
+    carry = _whitted_round(packed, static, shader_kind_tab, *carry, True)
+    color, atten, alive, orig, dir = carry
+    count = alive.sum()
 
-        return jax.lax.cond(count <= cap, compact_path, full_path, color, atten, alive, orig, dir)
+    def full_path(color, atten, alive, orig, dir):
+        out = run_rounds((jnp.zeros_like(color), atten, alive, orig, dir), rounds - 1)
+        return color + out[0]
 
-    def scan_body(c, _):
-        return _whitted_round(packed, static, shader_kind_tab, *c, True), None
+    def compact_path(color, atten, alive, orig, dir):
+        idx = jnp.arange(n, dtype=jnp.int32)
+        pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+        sel = (
+            jnp.zeros(cap, dtype=jnp.int32)
+            .at[jnp.where(alive, pos, cap)]
+            .set(idx, mode="drop")
+        )
+        lane_live = jnp.arange(cap) < count  # slots past the live set are dead
+        sub = (
+            jnp.zeros((cap, 3), dtype=color.dtype),
+            atten[sel],
+            lane_live,
+            orig[sel],
+            dir[sel],
+        )
+        out = run_rounds(sub, rounds - 1)
+        return color.at[sel].add(jnp.where(lane_live[..., None], out[0], 0.0))
 
-    carry, _ = jax.lax.scan(scan_body, carry, None, length=rounds)
-    return carry[0]
+    return jax.lax.cond(count <= cap, compact_path, full_path, color, atten, alive, orig, dir)
 
 
 # --------------------------------------------------------------------------
