@@ -154,6 +154,10 @@ class SceneStatic:
     # forward-only: use the fused Pallas primary kernel when the scene is
     # supported (ops/pallas_trace.supports); ignored otherwise
     use_pallas: bool = False
+    # rematerialize wavefront rounds in the backward pass (jax.checkpoint):
+    # scan residuals with [N, 1] trailing dims get 128x-padded by TPU
+    # tiling and can blow HBM; recompute is cheap relative to that
+    remat_rounds: bool = True
 
     @property
     def tex_kinds_present(self):

@@ -171,8 +171,17 @@ def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir, stats=Non
             _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
             return out
 
+        def one_round(c):
+            return _whitted_round(packed, static, shader_kind_tab, *c, True)
+
+        if static.remat_rounds:
+            # without remat, each scan step stores residuals like
+            # f32[N, 1] that TPU tiling pads 128x -> HBM blowup in the
+            # backward; recomputing the round is far cheaper
+            one_round = jax.checkpoint(one_round)
+
         def scan_body(c, _):
-            return _whitted_round(packed, static, shader_kind_tab, *c, True), None
+            return one_round(c), None
 
         out, _ = jax.lax.scan(scan_body, carry, None, length=n_rounds)
         return out
