@@ -15,15 +15,19 @@ reference renderer (a CPU ray tracer written in D):
   are replicated and gradients all-reduced with `psum` over ICI.
 
 Layout:
-    utils/     vec3 math, color/sRGB, RNG helpers
-    imageio/   BMP codec (byte-compatible with the reference writer)
+    utils/     vec3 math, color/sRGB, diagnostics (occupancy, NaN sweeps)
+    imageio/   BMP codec (byte-compatible with the reference writer), EXR stubs
     scene/     SDLang + JSON scene loading (the compatibility surface)
     models/    typed scene object model + packed differentiable pytrees
-    ops/       device kernels: ray-gen, intersect, CSG, textures, shading
-    render/    the wavefront render pipeline + debug single-pixel trace
-    parallel/  mesh construction, sharded rendering, distributed init
-    diff/      gradient utilities + inverse-rendering optimisation
+    ops/       device kernels: ray-gen, intersect, CSG, textures, shading,
+               environment cubemap, fused Pallas primary pass
+    render/    the wavefront render pipeline, buckets, async dispatch
+    parallel/  mesh construction, sharded rendering, gradient all-reduce
+    grad/      inverse-rendering optimisation + checkpoint/resume
+    gui/       interactive session (camera drive, screenshots, inspection)
+    chess/     the reference's vestigial chess data model
     oracle/    slow, trusted NumPy float64 reference implementation
+    native.py  ctypes bridge to the C++ framebuffer codec (native/)
 """
 
 __version__ = "0.1.0"
