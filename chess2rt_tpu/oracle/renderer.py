@@ -502,9 +502,18 @@ def get_screen_rays(cam: T.Camera, frame, x, y, stereo_offset=0.0, rng=None):
 
 
 class OracleRenderer:
-    def __init__(self, scene: T.Scene, gi_multiplier_quirk: bool = True, seed: int = 0):
+    def __init__(
+        self,
+        scene: T.Scene,
+        gi_multiplier_quirk: bool = True,
+        gi_point_light_direct: bool = False,
+        seed: int = 0,
+    ):
         self.scene = scene
         self.gi_multiplier_quirk = gi_multiplier_quirk
+        # extension: standard NEE against point lights in GI, replacing the
+        # reference's solidAngle==0 zero term (see pipeline trace_path)
+        self.gi_point_light_direct = gi_point_light_direct
         self.rng = np.random.default_rng(seed)
         self.frame = begin_frame(scene.camera)
 
@@ -670,10 +679,11 @@ class OracleRenderer:
         ).copy()
 
         # direct: explicit light sampling.  PointLight.solidAngle == 0
-        # (light.d:72-75) makes this term identically zero — preserved.
+        # (light.d:72-75) makes this term identically zero — preserved
+        # unless the NEE extension is enabled (gi_point_light_direct).
         result_direct = np.zeros((n, 3))
         lights = self.scene.lights
-        if lights:
+        if lights and not self.gi_point_light_direct:
             li = self.rng.integers(0, len(lights), size=n)
             for idx, light in enumerate(lights):
                 m = li == idx
@@ -681,6 +691,18 @@ class OracleRenderer:
                     continue
                 # solidAngle == 0 => contribution 0; keep the computation shape
                 result_direct[m] += 0.0
+        elif lights:
+            mult_eff = np.ones((n, 3)) if self.gi_multiplier_quirk else multiplier
+            shade_from = rec.p + N * 1e-6
+            for light in lights:
+                lp = np.asarray(light.pos, dtype=np.float64)
+                lc = np.asarray(light.color, dtype=np.float64) * light.power
+                vis = self.test_visibility(shade_from, np.broadcast_to(lp, (n, 3)))
+                to_light = lp - rec.p
+                ld = vec.normalize(to_light)
+                brdf = diffuse * (1 / np.pi) * np.maximum(0.0, vec.dot(ld, N))[:, None]
+                term = lc * brdf / vec.squared_length(to_light)[:, None]
+                result_direct += np.where(vis[:, None], mult_eff * term, 0.0)
 
         # indirect: BRDF-sampled continuation (Lambert.spawnRay, shader.d:118-135)
         u = self.rng.uniform(0.0, 1.0, size=n)
