@@ -1,0 +1,55 @@
+"""Multi-host startup (SURVEY.md §5.8).
+
+The reference has no process launcher (single OS process + thread pool);
+the TPU-native equivalent is ``jax.distributed.initialize`` + a mesh over
+every chip of every host.  On Cloud TPU pods the coordinator/process
+environment is auto-detected; elsewhere pass them explicitly.  After
+``initialize_distributed`` the rest of the framework is unchanged:
+``make_mesh()`` sees all global devices, pixel shards land per-host, and
+the gradient all-reduce rides ICI within a slice and DCN across hosts.
+
+Typical pod usage (same script on every host):
+
+    from chess2rt_tpu.parallel import distributed, make_mesh
+    distributed.initialize_distributed()        # auto-detect on Cloud TPU
+    mesh = make_mesh()                          # all chips, all hosts
+    fn = make_sharded_render_fn(static, mesh)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> dict:
+    """Bring up the multi-host runtime; no-op when already initialized or
+    when running single-process.  Returns a small info dict."""
+    already = getattr(jax.distributed, "is_initialized", lambda: False)()
+    if not already and (coordinator_address or num_processes):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif not already:
+        try:
+            jax.distributed.initialize()  # Cloud TPU auto-detection
+        except Exception:
+            pass  # single-process environment: nothing to do
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def is_primary() -> bool:
+    """True on the host that should write checkpoints / logs."""
+    return jax.process_index() == 0
