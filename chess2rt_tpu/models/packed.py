@@ -127,6 +127,9 @@ class SceneStatic:
     width: int
     height: int
     has_env: bool = False
+    # true (h, w) per bitmap atlas row — static so the in-graph quad
+    # construction (ops/shade.py) can wrap at real texture edges
+    bitmap_sizes: Tuple[Tuple[int, int], ...] = ()
     max_trace_depth: int = 4
     aa_enabled: bool = True
     dof: bool = False
@@ -365,6 +368,7 @@ def pack_scene(scene: T.Scene, dtype=jnp.float32) -> Tuple[ScenePacked, SceneSta
         width=s.frameWidth,
         height=s.frameHeight,
         has_env=scene.environment.cubemap is not None,
+        bitmap_sizes=tuple((b.shape[0], b.shape[1]) for b in bitmaps),
         max_trace_depth=s.maxTraceDepth,
         aa_enabled=s.AAEnabled,
         dof=cam.dof,

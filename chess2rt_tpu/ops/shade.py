@@ -137,22 +137,43 @@ def texture_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=N
         q = (ty - iy)[..., None]
         ixi = ix.astype(jnp.int32)
         iyi = iy.astype(jnp.int32)
-        wi = w.astype(jnp.int32)
-        hi = h.astype(jnp.int32)
-        ixn = jnp.where(ixi + 1 >= wi, 0, ixi + 1)  # edge wrap (bitmap.d:55-56)
-        iyn = jnp.where(iyi + 1 >= hi, 0, iyi + 1)
         atlas = packed.bitmap_atlas
         if not static.train_textures:
             atlas = jax.lax.stop_gradient(atlas)
+        # ONE 12-float gather per ray instead of 4 taps: quad[y, x] holds
+        # the 2x2 bilinear neighbourhood with the reference's edge wrap
+        # (bitmap.d:55-56), built in-graph so texel gradients stay exact.
+        quads = _quad_atlas(atlas, static.bitmap_sizes)
+        g = quads[b, iyi, ixi]  # [N, 12]
         bil = (
-            atlas[b, iyi, ixi] * (1 - p) * (1 - q)
-            + atlas[b, iyi, ixn] * p * (1 - q)
-            + atlas[b, iyn, ixi] * (1 - p) * q
-            + atlas[b, iyn, ixn] * p * q
+            g[..., 0:3] * (1 - p) * (1 - q)
+            + g[..., 3:6] * p * (1 - q)
+            + g[..., 6:9] * (1 - p) * q
+            + g[..., 9:12] * p * q
         )
         out = jnp.where((tk == TEX_BITMAP)[..., None], bil, out)
 
     return out
+
+
+def _quad_atlas(atlas, sizes):
+    """[T, Hm, Wm, 3] -> [T, Hm, Wm, 12]: each entry = (t00, t01, t10, t11)
+    of its 2x2 neighbourhood with per-texture wrap-around (sizes are the
+    true (h, w) per row; the pad region is never addressed because UV
+    indices are clipped to the true size)."""
+    T_, Hm, Wm, _ = atlas.shape
+    rows = []
+    for t, (h, w) in enumerate(sizes):
+        img = atlas[t, :h, :w]
+        x1 = jnp.roll(img, -1, axis=1)
+        y1 = jnp.roll(img, -1, axis=0)
+        xy1 = jnp.roll(x1, -1, axis=0)
+        quad = jnp.concatenate([img, x1, y1, xy1], axis=-1)
+        quad = jnp.pad(quad, ((0, Hm - h), (0, Wm - w), (0, 0)))
+        rows.append(quad)
+    if not rows:
+        return jnp.zeros((0, Hm, Wm, 12), dtype=atlas.dtype)
+    return jnp.stack(rows)
 
 
 # --------------------------------------------------------------------------
