@@ -106,9 +106,9 @@ def main():
 
     packed, static = build()
     # forward-only early-exit rounds; 259200-ray slabs bound peak HBM;
-    # bounce rounds compact to 1/4 of the slab (mirror coverage is ~5%)
+    # bounce rounds compact to 1/16 of the slab (mirror coverage is ~5%; overflow falls back to full width)
     static = dataclasses.replace(
-        static, fast_forward=True, chunk_pixels=259200, bounce_capacity=259200 // 4
+        static, fast_forward=True, chunk_pixels=259200, bounce_capacity=259200 // 16
     )
     from chess2rt_tpu.render.pipeline import AA_KERNEL, begin_frame, render_frame, render_samples
 
