@@ -45,13 +45,21 @@ def sample_cubemap(cubemap, dir):
     fy = t * (size - 1)
     x0 = jnp.clip(jnp.floor(fx), 0, size - 1).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(fy), 0, size - 1).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, size - 1)
-    y1 = jnp.minimum(y0 + 1, size - 1)
     p = (fx - x0)[..., None]
     q = (fy - y0)[..., None]
+    # one 12-float quad gather per ray instead of 4 taps (see
+    # ops/shade._quad_atlas; here neighbours clamp at face edges)
+    xn = cubemap[:, :, 1:]
+    xn = jnp.concatenate([xn, xn[:, :, -1:]], axis=2)
+    yn = cubemap[:, 1:]
+    yn = jnp.concatenate([yn, yn[:, -1:]], axis=1)
+    xyn = yn[:, :, 1:]
+    xyn = jnp.concatenate([xyn, xyn[:, :, -1:]], axis=2)
+    quads = jnp.concatenate([cubemap, xn, yn, xyn], axis=-1)
+    g = quads[face, y0, x0]
     return (
-        cubemap[face, y0, x0] * (1 - p) * (1 - q)
-        + cubemap[face, y0, x1] * p * (1 - q)
-        + cubemap[face, y1, x0] * (1 - p) * q
-        + cubemap[face, y1, x1] * p * q
+        g[..., 0:3] * (1 - p) * (1 - q)
+        + g[..., 3:6] * p * (1 - q)
+        + g[..., 6:9] * (1 - p) * q
+        + g[..., 9:12] * p * q
     )
