@@ -170,8 +170,18 @@ def load_bmp(data: bytes) -> BmpImage:
         px = rows[:, : w * 4].reshape(h, w, 4).astype(np.uint32)
         img.pixels_u32 = px[:, :, 0] | (px[:, :, 1] << 8) | (px[:, :, 2] << 16) | (px[:, :, 3] << 24)
     elif dib.bpp <= 8:
-        # The reference reads `width` *bytes* per row and unpacks bpp-sized
-        # fields MSB-first within each byte (bmp.d:163-190).
+        # Unpacks bpp-sized fields MSB-first within each byte, like the
+        # reference (bmp.d:168-187) — but with sane stream handling.  The
+        # reference reads `width` *bytes* per row (readArray!ubyte(width))
+        # with no padding skip, and writes the unpacked pixels to
+        # x = i*(8/bpp)..: for bpp == 8 with width % 4 == 0 (e.g. the
+        # data/bmp_test 1920x1080 fixture) that is coincidentally correct,
+        # but for bpp < 8 it over-consumes the stream 8/bpp-fold and writes
+        # past the scanline slice (out-of-bounds in a release build, a
+        # RangeError otherwise) — the reference cannot actually load its own
+        # 1/4-bpp fixtures.  We read ceil(width/(8/bpp)) bytes per padded
+        # row instead; behavior is identical wherever the reference's is
+        # well-defined (tests/test_bmp.py::test_bmp_test_fixtures).
         bpp = dib.bpp
         per_byte = 8 // bpp
         mask = (1 << bpp) - 1

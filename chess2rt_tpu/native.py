@@ -46,7 +46,15 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        src = os.path.join(_SRC, "framebuffer.cpp")
+        stale = (
+            os.path.exists(_LIB_PATH)
+            and os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if not os.path.exists(_LIB_PATH) or stale:
+            _build()  # on failure a still-present (stale) lib is kept
+        if not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)

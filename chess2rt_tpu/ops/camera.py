@@ -40,10 +40,24 @@ def begin_frame(cam: CameraPacked, aspect: float):
     ).astype(dt)
 
     mulr = lambda v: jnp.stack(v, axis=-1) @ rot  # row-vector times matrix  # noqa: E731
+    ul = mulr([xs, ys, one])
+    ur = mulr([-xs, ys, one])
+    dl = mulr([xs, -ys, one])
     return {
-        "up_left": mulr([xs, ys, one]) + cam.pos,
-        "up_right": mulr([-xs, ys, one]) + cam.pos,
-        "down_left": mulr([xs, -ys, one]) + cam.pos,
+        # *_rel corners are pos-FREE: the reference adds camera.pos here and
+        # subtracts it again per ray (camera.d:105-147).  In f32 that round
+        # trip cancels catastrophically (corner.y = 165.0196 keeps only
+        # ~2e-5 absolute precision around pos.y = 165, so grazing dir.y is
+        # wrong by ~0.3% and horizon-plane UVs land on the wrong texels).
+        # Interpolating the O(1) relative corners keeps full f32 precision;
+        # the sums are mathematically identical.
+        "up_left_rel": ul,
+        "up_right_rel": ur,
+        "down_left_rel": dl,
+        # absolute corners kept for parity consumers (debug dumps)
+        "up_left": ul + cam.pos,
+        "up_right": ur + cam.pos,
+        "down_left": dl + cam.pos,
         # row-vector multiply: e_i @ rot = rot row i (imported_types.d:13-20)
         "right_dir": rot[0],
         "up_dir": rot[1],
@@ -57,30 +71,34 @@ def screen_rays(cam: CameraPacked, frame, width, height, x, y, stereo_offset=0.0
     (camera.d:119-174).  stereo_offset in {-1, 0, +1}."""
     fx = (x / width)[..., None]
     fy = (y / height)[..., None]
-    target = (
-        frame["up_left"]
-        + (frame["up_right"] - frame["up_left"]) * fx
-        + (frame["down_left"] - frame["up_left"]) * fy
+    # interpolate pos-free corners (see begin_frame): dir never touches the
+    # large camera position, so grazing rays keep full relative precision
+    target_rel = (
+        frame["up_left_rel"]
+        + (frame["up_right_rel"] - frame["up_left_rel"]) * fx
+        + (frame["down_left_rel"] - frame["up_left_rel"]) * fy
     )
-    orig = jnp.broadcast_to(frame["pos"], target.shape)
-    dir = _norm(target - frame["pos"])
-    if stereo_offset:
-        orig = orig + frame["right_dir"] * (stereo_offset * cam.stereo_separation)
+    dir = _norm(target_rel)
+    stereo_off = frame["right_dir"] * (stereo_offset * cam.stereo_separation) if stereo_offset else 0.0
     if not dof:
+        orig = jnp.broadcast_to(frame["pos"], target_rel.shape)
+        if stereo_offset:
+            orig = orig + stereo_off
         return orig, dir
 
     # depth of field (camera.d:154-173): focal point along the ray, origin
     # jittered on the unit disc scaled by discMultiplier (= 10/fNumber).
+    # Computed pos-relative throughout (T_rel = T - pos) for the same
+    # precision reason as above.
     cos_theta = (dir * frame["front_dir"]).sum(-1)
     M = cam.focal_plane_dist / cos_theta
-    T = orig + dir * M[..., None]
+    T_rel = stereo_off + dir * M[..., None]  # focal point, relative to pos
     k1, k2 = jax.random.split(key)
     angle = jax.random.uniform(k1, x.shape, dtype=x.dtype) * (2 * jnp.pi)
     rad = jnp.sqrt(jax.random.uniform(k2, x.shape, dtype=x.dtype))
     dx = jnp.sin(angle) * rad * cam.disc_multiplier
     dy = jnp.cos(angle) * rad * cam.disc_multiplier
-    orig = frame["pos"] + dx[..., None] * frame["right_dir"] + dy[..., None] * frame["up_dir"]
-    if stereo_offset:
-        orig = orig + frame["right_dir"] * (stereo_offset * cam.stereo_separation)
-    dir = _norm(T - orig)
+    orig_off = dx[..., None] * frame["right_dir"] + dy[..., None] * frame["up_dir"] + stereo_off
+    orig = frame["pos"] + orig_off
+    dir = _norm(T_rel - orig_off)
     return orig, dir

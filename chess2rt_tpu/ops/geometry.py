@@ -531,17 +531,22 @@ def all_hit_dists_expr(packed: ScenePacked, expr, orig, dir):
 
 def node_closest_dist(packed: ScenePacked, node_static, node_idx, orig, dir):
     """Closest-hit distance only, world space (the node.d:23-68 rescaling
-    without record transforms)."""
+    without record transforms).
+
+    NB the min() (not slot 0): leaf sphere hit lists are [x2, x1] with
+    INF-masked invalid roots, UNsorted — a ray starting inside a sphere has
+    x2 < 0 <= x1, so slot 0 would miss the far-root hit the reference's
+    intersect reports (geometry.d:104-108)."""
     if node_static.identity_transform:
-        return all_hit_dists_expr(packed, node_static.geom, orig, dir)[..., 0]
+        return all_hit_dists_expr(packed, node_static.geom, orig, dir).min(-1)
     offset = packed.node_offset[node_idx]
     if node_static.offset_only:
-        return all_hit_dists_expr(packed, node_static.geom, orig - offset, dir)[..., 0]
+        return all_hit_dists_expr(packed, node_static.geom, orig - offset, dir).min(-1)
     m_inv = jnp.linalg.inv(packed.node_matrix[node_idx])
     co = (orig - offset) @ m_inv
     cd = dir @ m_inv
     dlen = jnp.sqrt(dot(cd, cd))
-    d = all_hit_dists_expr(packed, node_static.geom, co, cd / dlen[..., None])[..., 0]
+    d = all_hit_dists_expr(packed, node_static.geom, co, cd / dlen[..., None]).min(-1)
     return jnp.where(d >= INF, INF, d / dlen)
 
 

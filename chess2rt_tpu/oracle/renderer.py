@@ -655,6 +655,14 @@ class OracleRenderer:
             return np.zeros((n, 3))
         rec, win = self.closest_hit(orig, dir)
         out = np.zeros((n, 3))
+        # miss -> environment * multiplier (renderer.d:396-397); black default,
+        # cubemap skybox extension.  Mirrors render/pipeline.py trace_path.
+        miss = win < 0
+        if miss.any() and self.scene.environment.cubemap is not None:
+            mult_eff = np.ones((n, 3)) if self.gi_multiplier_quirk else multiplier
+            out[miss] = mult_eff[miss] * sample_cubemap_np(
+                self.scene.environment.cubemap, dir[miss]
+            )
         # (PointLight cannot be hit, so the hitLight branch never fires.)
         for i, node in enumerate(self.scene.nodes):
             m = win == i
@@ -720,9 +728,13 @@ class OracleRenderer:
             np.ones(n, dtype=bool),
             multiplier * color_eval / pdf,
         )
-        if self.gi_multiplier_quirk:
-            return result_direct + sub
-        return result_direct + sub * color_eval / pdf
+        # Non-quirk mode: throughput is carried via the multiplier argument
+        # (the child's direct/miss terms are already weighted by the full
+        # path product), so the returned sub must NOT be reweighted here —
+        # doing so squares the per-bounce attenuation.  The quirk mode drops
+        # the multiplier entirely (renderer.d:356), so the sum is unweighted
+        # either way.
+        return result_direct + sub
 
     # -- per-pixel sampling dispatch (renderer.d:254-313) ------------------
 

@@ -40,8 +40,19 @@ def initialize_distributed(
     elif not already:
         try:
             jax.distributed.initialize()  # Cloud TPU auto-detection
-        except Exception:
-            pass  # single-process environment: nothing to do
+        except ValueError as e:
+            # ValueError = auto-detection found no multi-process environment
+            # (the expected single-process case) — continue, but say so.
+            # Anything else (RuntimeError: broken coordinator on a real pod,
+            # connection failures) propagates: silently continuing with a
+            # wrong global device view would corrupt sharding.
+            import warnings
+
+            warnings.warn(
+                f"jax.distributed auto-detection unavailable; continuing "
+                f"single-process ({e})",
+                stacklevel=2,
+            )
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

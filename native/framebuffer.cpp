@@ -41,9 +41,14 @@ struct SrgbLut {
 const SrgbLut g_srgb;
 
 inline uint8_t srgb_u8(float x) {
-    if (x <= 0.0f) return 0;
+    // NaN fails both comparisons below; without a clamp the computed LUT
+    // index would be undefined (the numpy path clips to [0, 4096]).
+    if (!(x > 0.0f)) return 0;   // x <= 0 or NaN
     if (x >= 1.0f) return 255;
-    return g_srgb.lut[(int)(x * 4096.0f)];
+    int i = (int)(x * 4096.0f);
+    if (i < 0) i = 0;
+    if (i > 4096) i = 4096;
+    return g_srgb.lut[i];
 }
 
 void put_u16(uint8_t* p, uint16_t v) { std::memcpy(p, &v, 2); }

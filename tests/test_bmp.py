@@ -174,16 +174,35 @@ def test_load_reference_assets(data_dir, name):
     assert rgb.min() >= 0.0 and rgb.max() <= 1.0
 
 
-def test_load_palettized_fixtures(data_dir):
-    import pathlib
+def test_bmp_test_fixtures(data_dir):
+    """The reference's manual data/bmp_test fixtures (1920x1080 at 1/4/8
+    bpp, plus an unsupported 16-bpp one).
 
-    fixtures = sorted(pathlib.Path(data_dir / "bmp_test").glob("*.bmp"))
-    loaded = 0
-    for f in fixtures:
-        try:
-            img = load_bmp_file(str(f))
-        except ValueError:
-            continue  # 16-bpp fixtures are unsupported, matching the reference
-        assert img.width > 0 and img.height > 0
-        loaded += 1
-    assert loaded >= 1
+    Note on the reference's <=8-bpp quirk (bmp.d:168-187): it reads `width`
+    *bytes* per row — correct only for bpp == 8 with width % 4 == 0 (true
+    for these fixtures); for bpp < 8 it over-reads the stream and writes
+    out of bounds, so the sanitized path here is the only well-defined
+    behavior to pin (see chess2rt_tpu/imageio/bmp.py)."""
+    imgs = {}
+    for bpp in (1, 4, 8):
+        img = load_bmp_file(str(data_dir / "bmp_test" / f"bloom_sceen_{bpp}bpp.bmp"))
+        assert (img.width, img.height) == (1920, 1080)
+        assert img.dib.bpp == bpp
+        imgs[bpp] = img.to_float_rgb()
+        assert imgs[bpp].shape == (1080, 1920, 3)
+        assert 0.0 <= imgs[bpp].min() and imgs[bpp].max() <= 1.0
+
+    # All three encode the same scene at different palette depths: the
+    # decoded luma must be strongly correlated (a row-alignment bug — e.g.
+    # the reference's byte-per-pixel row read applied to 4 bpp — would
+    # destroy this).
+    luma8 = imgs[8].mean(-1).ravel()
+    luma4 = imgs[4].mean(-1).ravel()
+    c = np.corrcoef(luma8, luma4)[0, 1]
+    assert c > 0.9, c
+    # 1-bpp is a threshold image; correlation is weaker but must be positive
+    assert np.corrcoef(luma8, imgs[1].mean(-1).ravel())[0, 1] > 0.3
+
+    # 16 bpp falls into the reference's assert(0) branch (bmp.d:188-190)
+    with pytest.raises(ValueError):
+        load_bmp_file(str(data_dir / "bmp_test" / "bloom_sceen_16bpp.bmp"))

@@ -45,6 +45,41 @@ class TestGiQuirkPath:
         np.testing.assert_array_equal(gold, 0.0)
 
 
+class TestGiEnvironment:
+    def test_quirk_path_env_light_nonblack(self, data_dir):
+        """Reference-semantics GI (solidAngle == 0 direct term) with a
+        cubemap environment as the only light source: paths escaping to the
+        sky carry radiance, so the image is NOT black — and the oracle's
+        pathtrace must include the same miss term (ADVICE round-1 medium:
+        the oracle used to omit it)."""
+        sc = _scene(data_dir, w=16, h=12, paths=48)
+        # uniform grey sky: the env term integrates analytically, so MC
+        # noise is low and the comparison is tight
+        sc.environment.cubemap = np.full((6, 4, 4, 3), 0.5, dtype=np.float32)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert static.has_env and static.gi_enabled
+        img = np.asarray(render_frame(packed, static, jax.random.PRNGKey(2)))
+        gold = OracleRenderer(sc, seed=11).render()
+        assert img.max() > 0.05 and gold.max() > 0.05
+        np.testing.assert_allclose(img.mean(axis=(0, 1)), gold.mean(axis=(0, 1)), rtol=0.1)
+
+    def test_nonquirk_env_attenuated(self, data_dir):
+        """Non-quirk mode must weight the env miss term by path throughput:
+        bounced sky radiance is attenuated, so the image is strictly darker
+        than quirk mode — in BOTH pipelines."""
+        sc = _scene(data_dir, w=16, h=12, paths=48)
+        sc.environment.cubemap = np.full((6, 4, 4, 3), 0.5, dtype=np.float32)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        st_p = dataclasses.replace(static, gi_multiplier_quirk=False)
+        a = np.asarray(render_frame(packed, static, jax.random.PRNGKey(3)))
+        b = np.asarray(render_frame(packed, st_p, jax.random.PRNGKey(3)))
+        assert 0 < b.mean() < a.mean()
+        ga = OracleRenderer(sc, seed=13).render()
+        gb = OracleRenderer(sc, gi_multiplier_quirk=False, seed=13).render()
+        assert 0 < gb.mean() < ga.mean()
+        np.testing.assert_allclose(b.mean(axis=(0, 1)), gb.mean(axis=(0, 1)), rtol=0.12)
+
+
 class TestGiNeeExtension:
     def test_device_matches_oracle_statistically(self, data_dir):
         """With gi_point_light_direct the oracle and device must agree in
@@ -57,6 +92,43 @@ class TestGiNeeExtension:
         assert img.max() > 0.01 and gold.max() > 0.01
         # rtol covers MC noise at 48 paths plus a small systematic f32
         # secondary-ray offset deficit vs the f64 oracle (~6%)
+        np.testing.assert_allclose(img.mean(axis=(0, 1)), gold.mean(axis=(0, 1)), rtol=0.12)
+
+    def test_per_pixel_z_score(self, data_dir):
+        """Variance-normalized per-pixel comparison: estimate each
+        pipeline's per-pixel MC noise from K independent renders and require
+        the device/oracle means to agree within it.  A broken BRDF constant
+        (e.g. a 1.15x diffuse factor) shifts every lit pixel by >> sigma/sqrt(K)
+        and fails the z-bound; seed-to-seed noise does not."""
+        K = 4
+        sc = _scene(data_dir, w=16, h=12, paths=32)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        static = dataclasses.replace(static, gi_point_light_direct=True)
+        dev = np.stack(
+            [np.asarray(render_frame(packed, static, jax.random.PRNGKey(100 + i))) for i in range(K)]
+        )
+        gold = np.stack([OracleRenderer(sc, gi_point_light_direct=True, seed=200 + i).render() for i in range(K)])
+        md, mo = dev.mean(0), gold.mean(0)
+        # std of the K-render mean, with a small floor for near-black pixels
+        se = np.sqrt((dev.var(0) + gold.var(0)) / K) + 5e-3 + 0.02 * np.abs(mo)
+        z = np.abs(md - mo) / se
+        # MC + f32-vs-f64 systematic: allow a tail, but the bulk must agree
+        assert (z < 4.0).mean() > 0.97, (z.max(), (z >= 4.0).mean())
+        assert md.max() > 0.01 and mo.max() > 0.01
+
+    def test_nonquirk_oracle_matches_device(self, data_dir):
+        """gi_multiplier_quirk=False cross-parity (ADVICE round-1 medium):
+        the oracle must carry throughput exactly once, like the device."""
+        sc = _scene(data_dir, paths=48)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        static = dataclasses.replace(
+            static, gi_point_light_direct=True, gi_multiplier_quirk=False
+        )
+        img = np.asarray(render_frame(packed, static, jax.random.PRNGKey(1)))
+        gold = OracleRenderer(
+            sc, gi_point_light_direct=True, gi_multiplier_quirk=False, seed=7
+        ).render()
+        assert img.max() > 0.01 and gold.max() > 0.01
         np.testing.assert_allclose(img.mean(axis=(0, 1)), gold.mean(axis=(0, 1)), rtol=0.12)
 
     def test_physical_mode_darker_than_quirk(self, data_dir):

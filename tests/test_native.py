@@ -34,6 +34,12 @@ class TestSrgbQuantize:
         x = np.array([[[-1.0, 0.0, 1.0]]], dtype=np.float32)
         np.testing.assert_array_equal(native.srgb_quantize(x)[0, 0], [0, 0, 255])
 
+    def test_nonfinite_inputs(self, lib):
+        """NaN/inf must not index out of the LUT (ADVICE round-1): NaN -> 0
+        like the numpy path's clipped index, +/-inf -> saturation."""
+        x = np.array([[[np.nan, np.inf, -np.inf]]], dtype=np.float32)
+        np.testing.assert_array_equal(native.srgb_quantize(x)[0, 0], [0, 255, 0])
+
 
 class TestBmpEncode:
     @pytest.mark.parametrize("pad", [False, True])

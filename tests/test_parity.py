@@ -81,15 +81,18 @@ class TestF32Production:
         assert (d <= 1).mean() > 0.995
 
     def test_lecture5(self, data_dir):
-        # Bitmap-textured plane UVs at the horizon lose fractional precision
-        # in f32 (frac of O(1e4) coords) — inherent to the dtype, so the
-        # tolerance here is looser at the tail.
+        # Horizon-plane UVs used to lose ~11 bits to the camera-position
+        # round trip in the corner interpolation; the pos-free corner
+        # re-derivation (ops/camera.py begin_frame) restores full f32
+        # relative precision, so the u8 tail is tight.  The remaining >1
+        # pixels are razor-edge texel-boundary flips.
         sc = _load(data_dir, "lecture5.sdl", aa=False)
         gold = OracleRenderer(sc).render()
         img = np.asarray(render_scene_jax(sc, dtype=jnp.float32))
-        assert np.abs(np.asarray(img) - gold).mean() < 5e-3
+        assert np.abs(np.asarray(img) - gold).mean() < 1e-3
         d = np.abs(_u8(img) - _u8(gold)).max(-1)
-        assert (d <= 1).mean() > 0.90
+        assert (d == 0).mean() > 0.99
+        assert (d <= 1).mean() > 0.995
         assert np.median(np.abs(np.asarray(img) - gold)) < 1e-4
 
     def test_zaphod_dof_statistical(self, data_dir):
