@@ -121,39 +121,53 @@ def texture_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=N
         out = jnp.where((tk == TEX_PROC2)[..., None], proc, out)
 
     if TEX_BITMAP in present:
-        b = bitmap_idx_tab[winc]
-        hw = packed.bitmap_hw[b]
-        h, w = hw[..., 0], hw[..., 1]
-        scaling = node_gather(onehot, packed.bitmap_scaling)
-        uu = u * scaling
-        vv = v * scaling
-        uu = uu - jnp.floor(uu)
-        vv = vv - jnp.floor(vv)
-        tx = uu * w
-        ty = vv * h
-        ix = jnp.clip(jnp.floor(tx), 0, w - 1)
-        iy = jnp.clip(jnp.floor(ty), 0, h - 1)
-        p = (tx - ix)[..., None]
-        q = (ty - iy)[..., None]
-        ixi = ix.astype(jnp.int32)
-        iyi = iy.astype(jnp.int32)
-        atlas = packed.bitmap_atlas
-        if not static.train_textures:
-            atlas = jax.lax.stop_gradient(atlas)
-        # ONE 12-float gather per ray instead of 4 taps: quad[y, x] holds
-        # the 2x2 bilinear neighbourhood with the reference's edge wrap
-        # (bitmap.d:55-56), built in-graph so texel gradients stay exact.
-        quads = _quad_atlas(atlas, static.bitmap_sizes)
-        g = quads[b, iyi, ixi]  # [N, 12]
-        bil = (
-            g[..., 0:3] * (1 - p) * (1 - q)
-            + g[..., 3:6] * p * (1 - q)
-            + g[..., 6:9] * (1 - p) * q
-            + g[..., 9:12] * p * q
-        )
+        bil = bitmap_color(packed, static, winc, u, v, onehot)
         out = jnp.where((tk == TEX_BITMAP)[..., None], bil, out)
 
     return out
+
+
+def bitmap_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=None):
+    """Bilinear bitmap sample for the winning node's texture
+    (texture.d:103-162 scaling/wrap + bitmap.d:48-63 filtering).
+
+    Exposed standalone so the fused Pallas path (ops/pallas_trace.py) can
+    defer exactly this gather to XLA: Mosaic has no per-lane dynamic
+    indexing, so the kernel emits (win, u, v) and this function turns them
+    into texels."""
+    _, _, bitmap_idx_tab = node_kind_tables(static)
+    if onehot is None:
+        onehot = node_onehot(static, winc)
+    b = bitmap_idx_tab[winc]
+    hw = packed.bitmap_hw[b]
+    h, w = hw[..., 0], hw[..., 1]
+    scaling = node_gather(onehot, packed.bitmap_scaling)
+    uu = u * scaling
+    vv = v * scaling
+    uu = uu - jnp.floor(uu)
+    vv = vv - jnp.floor(vv)
+    tx = uu * w
+    ty = vv * h
+    ix = jnp.clip(jnp.floor(tx), 0, w - 1)
+    iy = jnp.clip(jnp.floor(ty), 0, h - 1)
+    p = (tx - ix)[..., None]
+    q = (ty - iy)[..., None]
+    ixi = ix.astype(jnp.int32)
+    iyi = iy.astype(jnp.int32)
+    atlas = packed.bitmap_atlas
+    if not static.train_textures:
+        atlas = jax.lax.stop_gradient(atlas)
+    # ONE 12-float gather per ray instead of 4 taps: quad[y, x] holds
+    # the 2x2 bilinear neighbourhood with the reference's edge wrap
+    # (bitmap.d:55-56), built in-graph so texel gradients stay exact.
+    quads = _quad_atlas(atlas, static.bitmap_sizes)
+    g = quads[b, iyi, ixi]  # [N, 12]
+    return (
+        g[..., 0:3] * (1 - p) * (1 - q)
+        + g[..., 3:6] * p * (1 - q)
+        + g[..., 6:9] * (1 - p) * q
+        + g[..., 9:12] * p * q
+    )
 
 
 def _quad_atlas(atlas, sizes):

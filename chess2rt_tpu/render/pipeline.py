@@ -155,55 +155,77 @@ def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir, stats=Non
                 break
         return carry[0]
 
-    def run_rounds(carry, n_rounds):
-        """Remaining wavefront rounds: early-exit while_loop when
-        forward-only, reverse-differentiable lax.scan otherwise."""
-        if static.fast_forward:
-
-            def cond(state):
-                r, (_, _, alive, _, _) = state
-                return (r < n_rounds) & alive.any()
-
-            def body(state):
-                r, c = state
-                return r + 1, _whitted_round(packed, static, shader_kind_tab, *c, True)
-
-            _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
-            return out
-
-        def one_round(c):
-            return _whitted_round(packed, static, shader_kind_tab, *c, True)
-
-        if static.remat_rounds:
-            # without remat, each scan step stores residuals like
-            # f32[N, 1] that TPU tiling pads 128x -> HBM blowup in the
-            # backward; recomputing the round is far cheaper
-            one_round = jax.checkpoint(one_round)
-
-        def scan_body(c, _):
-            return one_round(c), None
-
-        out, _ = jax.lax.scan(scan_body, carry, None, length=n_rounds)
-        return out
-
     n = int(np.prod(orig.shape[:-1]))
     cap = static.bounce_capacity
     if not cap or cap >= n or orig.ndim != 2:
-        return run_rounds(carry, rounds)[0]
+        return _run_rounds(packed, static, shader_kind_tab, carry, rounds)[0]
 
-    # Round 0 at full width, then compact the (monotonically shrinking)
-    # live set into a `cap`-lane buffer for the remaining rounds —
-    # SURVEY.md §7.2 #4: masked-lane waste vs compaction.  When the live
-    # set overflows the capacity, lax.cond falls back to full-width rounds
-    # (correctness never depends on the bound).  cond, gather and
-    # scatter-add are all reverse-differentiable, so this also accelerates
-    # inverse rendering.
+    # Round 0 at full width, then hand the live set to the shared
+    # compaction driver (also used by the fused Pallas round-0 path).
     carry = _whitted_round(packed, static, shader_kind_tab, *carry, True)
-    color, atten, alive, orig, dir = carry
+    return continue_bounces(packed, static, *carry, n_rounds=rounds - 1)
+
+
+def _run_rounds(packed, static, shader_kind_tab, carry, n_rounds):
+    """Remaining wavefront rounds: early-exit while_loop when forward-only,
+    reverse-differentiable lax.scan otherwise."""
+    if static.fast_forward:
+
+        def cond(state):
+            r, (_, _, alive, _, _) = state
+            return (r < n_rounds) & alive.any()
+
+        def body(state):
+            r, c = state
+            return r + 1, _whitted_round(packed, static, shader_kind_tab, *c, True)
+
+        _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+        return out
+
+    def one_round(c):
+        return _whitted_round(packed, static, shader_kind_tab, *c, True)
+
+    if static.remat_rounds:
+        # without remat, each scan step stores residuals like
+        # f32[N, 1] that TPU tiling pads 128x -> HBM blowup in the
+        # backward; recomputing the round is far cheaper
+        one_round = jax.checkpoint(one_round)
+
+    def scan_body(c, _):
+        return one_round(c), None
+
+    out, _ = jax.lax.scan(scan_body, carry, None, length=n_rounds)
+    return out
+
+
+def continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds):
+    """Run ``n_rounds`` more wavefront rounds on an already-shaded state,
+    compacting the (monotonically shrinking) live set into a
+    ``static.bounce_capacity``-lane buffer when it fits — SURVEY.md §7.2
+    #4: masked-lane waste vs compaction.  When the live set overflows the
+    capacity, lax.cond falls back to full-width rounds (correctness never
+    depends on the bound).  cond, gather and scatter-add are all
+    reverse-differentiable, so this also accelerates inverse rendering.
+
+    Shared by trace_whitted (XLA round 0) and the fused Pallas primary
+    kernel (which emits the same (color, atten, alive, orig, dir) carry)."""
+    shader_kind_tab, _, _ = S.node_kind_tables(static)
+    if n_rounds <= 0:
+        return color
+    n = int(np.prod(orig.shape[:-1]))
+    cap = static.bounce_capacity
+    if not cap or cap >= n or orig.ndim != 2:
+        out = _run_rounds(
+            packed, static, shader_kind_tab, (jnp.zeros_like(color), atten, alive, orig, dir), n_rounds
+        )
+        return color + out[0]
+
     count = alive.sum()
 
     def full_path(color, atten, alive, orig, dir):
-        out = run_rounds((jnp.zeros_like(color), atten, alive, orig, dir), rounds - 1)
+        out = _run_rounds(
+            packed, static, shader_kind_tab, (jnp.zeros_like(color), atten, alive, orig, dir), n_rounds
+        )
         return color + out[0]
 
     def compact_path(color, atten, alive, orig, dir):
@@ -222,7 +244,7 @@ def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir, stats=Non
             orig[sel],
             dir[sel],
         )
-        out = run_rounds(sub, rounds - 1)
+        out = _run_rounds(packed, static, shader_kind_tab, sub, n_rounds)
         return color.at[sel].add(jnp.where(lane_live[..., None], out[0], 0.0))
 
     return jax.lax.cond(count <= cap, compact_path, full_path, color, atten, alive, orig, dir)
@@ -320,6 +342,12 @@ def render_samples(packed: ScenePacked, static: SceneStatic, frame, x, y, key, d
         return screen_rays(cam, frame, W, H, xx, yy, stereo, dof=static.dof, key=k)
 
     def trace_one(xx, yy, k, st=None):
+        # dispatch priority matches renderSample (renderer.d:254-268):
+        # DoF first, then GI (which ignores stereo — renderSampleGI traces
+        # mono), then the default path where stereo applies.
+        if static.gi_enabled and not static.dof:
+            o, d = one_ray(xx, yy, 0.0, k)
+            return trace_path(packed, static, o, d, k)
         if static.stereo:
             ol, dl = one_ray(xx, yy, -1.0, k)
             orr, drr = one_ray(xx, yy, +1.0, k)
@@ -327,8 +355,6 @@ def render_samples(packed: ScenePacked, static: SceneStatic, frame, x, y, key, d
             right = trace_whitted(packed, static, orr, drr, st)
             return _combine_stereo(left, right)
         o, d = one_ray(xx, yy, 0.0, k)
-        if static.gi_enabled and not static.dof:
-            return trace_path(packed, static, o, d, k)
         return trace_whitted(packed, static, o, d, st)
 
     if static.dof or static.gi_enabled:
@@ -411,13 +437,9 @@ def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
         from ..ops import pallas_trace as PT
 
         if PT.supports(static):
-            fn = PT.build_primary_kernel(static, W, H)
-            img = fn(packed)
-            if static.aa_enabled:
-                for kx, ky in AA_KERNEL:
-                    img = img + fn(packed, jnp.asarray([kx, ky], dtype=jnp.float32))
-                img = img / 5.0
-            return img.reshape(H, W, 3)
+            # fused Pallas round 0 (+ XLA bitmap gather / env / compacted
+            # bounce rounds + AA loop) — forward-only fast path
+            return PT.build_flagship_renderer(static, W, H)(packed, key)
 
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=dt), jnp.arange(W, dtype=dt), indexing="ij")
     xf = xs.reshape(-1)

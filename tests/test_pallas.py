@@ -26,10 +26,11 @@ class TestSupports:
         _, static = pack_scene(_scene(data_dir))
         assert supports(static)
 
-    def test_csg_falls_back(self, data_dir):
+    def test_lecture5_supported(self, data_dir):
+        """Round 2: CSG + bitmap textures + transforms are in-kernel now."""
         sc = parse_scene_from_file(str(data_dir / "lecture5.sdl"))
         _, static = pack_scene(sc)
-        assert not supports(static)  # CSG + bitmap textures + scale transform
+        assert supports(static)
 
     def test_dof_falls_back(self, data_dir):
         sc = _scene(data_dir)
@@ -63,6 +64,63 @@ class TestKernelParity:
         out = np.asarray(fn(packed)).reshape(static.height, static.width, 3)
         ref = np.asarray(render_frame(packed, static, jax.random.PRNGKey(0)))
         np.testing.assert_allclose(out, ref, atol=5e-4)
+
+    def test_lecture5_flagship(self, data_dir):
+        """The flagship scene end-to-end: CSG interval engine, full matrix
+        transform, deferred bitmap texturing (plane + textured sphere with
+        polynomial atan2/asin UVs), Phong — all through the fused kernel,
+        vs the XLA anchor.  A small knife-edge tail is allowed: in-kernel
+        atan2 differs from XLA's by ~1 ulp, which can flip a texel at a
+        boundary."""
+        import dataclasses
+
+        sc = parse_scene_from_file(str(data_dir / "lecture5.sdl"))
+        sc.settings.frameWidth, sc.settings.frameHeight = 64, 48
+        sc.camera.set_frame_size(64, 48)
+        sc.settings.AAEnabled = False
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert supports(static)
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer
+
+        st = dataclasses.replace(static, aa_enabled=False)
+        out = np.asarray(build_flagship_renderer(st, 64, 48, interpret=True)(packed))
+        ref = np.asarray(render_frame(packed, st, jax.random.PRNGKey(0)))
+        d = np.abs(out - ref).max(-1)
+        assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
+        assert np.median(d) < 2e-4
+
+    def test_reflection_bounces(self, data_dir):
+        """Mirror sphere: kernel round 0 + XLA compacted bounce rounds must
+        match the all-XLA wavefront."""
+        import dataclasses
+
+        sc = _scene(data_dir, w=64, h=48)
+        m = T.Reflection(name="m", color=(0.9, 0.9, 0.9))
+        sc.shaders.append(m)
+        sc.nodes.append(
+            T.Node(name="ball", geometry=T.Sphere(name="b", center=(0, 60, 120), R=40.0), shader=m)
+        )
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert supports(static)
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer
+
+        st = dataclasses.replace(static, aa_enabled=False, bounce_capacity=1024)
+        out = np.asarray(build_flagship_renderer(st, 64, 48, interpret=True)(packed))
+        ref = np.asarray(render_frame(packed, st, jax.random.PRNGKey(0)))
+        d = np.abs(out - ref).max(-1)
+        assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
+
+    def test_aa_taps_match_xla(self, data_dir):
+        """5-tap AA through the flagship renderer == the XLA AA pipeline."""
+        sc = _scene(data_dir, w=32, h=24)
+        sc.settings.AAEnabled = True
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer
+
+        out = np.asarray(build_flagship_renderer(static, 32, 24, interpret=True)(packed))
+        ref = np.asarray(render_frame(packed, static, jax.random.PRNGKey(0)))
+        d = np.abs(out - ref).max(-1)
+        assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
 
     def test_proc2_texture(self, data_dir):
         sc = parse_scene_from_file(str(data_dir / "lecture4-proc-texture.sdl"))
