@@ -11,12 +11,14 @@ Parity with the reference app surface (app.d:9-39, gui/raytracer_demo.d):
   naming scheme (raytracer_demo.d:227-238) when no --output is given.
 * ``--debug-pixel X,Y`` reproduces the left-click single-pixel trace dump
   (renderer.d:46-57, raytracer_demo.d:240-266) — ray, hit node, distance,
-  color, hit point, normal, UV — via the float64 oracle, which matches the
-  reference's double math.
+  color, hit point, normal, UV — tracing the DEVICE pipeline at the chosen
+  dtype side by side with the float64 oracle, so device/oracle
+  disagreements are directly visible.
 
-Interactive SDL windowing is intentionally out of scope for TPU pods
-(SURVEY.md §7.1 step 10): headless render + image output covers the
-capability.
+* ``--interactive`` runs a real progressive viewer (gui/viewer.py): SDL2
+  window when pysdl2 is importable, 24-bit ANSI terminal otherwise, with
+  the prepass-then-zigzag-buckets display order (renderer.d:110-127,
+  :194-213) and the RTDemo control table.
 """
 
 from __future__ import annotations
@@ -41,34 +43,109 @@ def screenshot_name() -> str:
     return os.path.join("output", f"img_{stamp}.bmp")
 
 
-def debug_pixel(scene, x: int, y: int) -> str:
-    """Single-pixel trace dump (parity: raytracer_demo.d:247-265)."""
+def _oracle_pixel_trace(scene, x: int, y: int):
+    """Oracle-side single-pixel fields (float64 numpy reference)."""
     import numpy as np
 
-    from .oracle.renderer import OracleRenderer, begin_frame, get_screen_rays
+    from .oracle.renderer import OracleRenderer, get_screen_rays
 
     r = OracleRenderer(scene)
     orig, dir = get_screen_rays(scene.camera, r.frame, np.array([float(x)]), np.array([float(y)]))
     rec, win = r.closest_hit(orig, dir)
     color = r.raytrace(orig, dir)
+    return {
+        "orig": orig[0],
+        "dir": dir[0],
+        "win": int(win[0]),
+        "dist": float(rec.dist[0]),
+        "color": color[0],
+        "p": rec.p[0],
+        "normal": rec.normal[0],
+        "uv": (float(rec.u[0]), float(rec.v[0])),
+    }
+
+
+def _device_pixel_trace(scene, x: int, y: int, dtype_str: str = "f32"):
+    """Device-side single-pixel fields: the ACTUAL render pipeline
+    (render/pipeline.py) run eagerly on a one-ray batch at the requested
+    dtype — raytracer_demo.d:240-266 inspects what the renderer did, not a
+    reference re-derivation, and so does this."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if dtype_str == "f64":
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if dtype_str == "f64" else jnp.float32
+
+    from .models.packed import pack_scene
+    from .ops import geometry as G
+    from .ops.camera import begin_frame, screen_rays
+    from .render.pipeline import render_samples
+
+    packed, static = pack_scene(scene, dtype=dtype)
+    frame = begin_frame(packed.camera, static.width / static.height)
+    xs = jnp.asarray([float(x)], dtype=dtype)
+    ys = jnp.asarray([float(y)], dtype=dtype)
+    orig, dir = screen_rays(packed.camera, frame, float(static.width), float(static.height), xs, ys, 0.0)
+    hit, win = G.scene_closest(packed, static, orig, dir)
+    color = render_samples(packed, static, frame, xs, ys, jax.random.PRNGKey(0))
+    f = lambda a: np.asarray(a)  # noqa: E731
+    return {
+        "orig": f(orig)[0],
+        "dir": f(dir)[0],
+        "win": int(f(win)[0]),
+        "dist": float(f(hit["dist"])[0]),
+        "color": f(color)[0],
+        "p": f(hit["p"])[0],
+        "normal": f(hit["normal"])[0],
+        "uv": (float(f(hit["u"])[0]), float(f(hit["v"])[0])),
+    }
+
+
+def debug_pixel(scene, x: int, y: int, dtype_str: str = "f32") -> str:
+    """Single-pixel trace dump (parity: raytracer_demo.d:247-265), printing
+    the DEVICE pipeline's trace side by side with the float64 oracle —
+    when the two disagree (exactly when you need this tool) both are
+    visible."""
+    dev = _device_pixel_trace(scene, x, y, dtype_str)
+    orc = _oracle_pixel_trace(scene, x, y)
+
+    def v3(a):
+        return f"({a[0]:.6g}, {a[1]:.6g}, {a[2]:.6g})"
+
+    def node_desc(win):
+        if win < 0:
+            return "miss (environment)"
+        node = scene.nodes[win]
+        return (
+            f"'{node.name}' geometry={type(node.geometry).__name__} "
+            f"shader={type(node.shader).__name__}"
+        )
+
+    rows = [
+        ("Ray origin", v3(dev["orig"]), v3(orc["orig"])),
+        ("Ray direction", v3(dev["dir"]), v3(orc["dir"])),
+        ("Hit node", node_desc(dev["win"]), node_desc(orc["win"])),
+    ]
+    if dev["win"] >= 0 or orc["win"] >= 0:
+        rows += [
+            ("Distance", f"{dev['dist']:.6g}", f"{orc['dist']:.6g}"),
+            ("Hit point", v3(dev["p"]), v3(orc["p"])),
+            ("Normal", v3(dev["normal"]), v3(orc["normal"])),
+            ("UV", f"({dev['uv'][0]:.6g}, {dev['uv'][1]:.6g})", f"({orc['uv'][0]:.6g}, {orc['uv'][1]:.6g})"),
+        ]
+    rows.append(("Color", v3(dev["color"]), v3(orc["color"])))
+
+    wl = max(len(r[0]) for r in rows)
+    wd = max(len(r[1]) for r in rows)
     lines = [
         f"Mouse click at: ({x}, {y})",
-        f"  Ray origin: ({orig[0][0]:.6g}, {orig[0][1]:.6g}, {orig[0][2]:.6g})",
-        f"  Ray direction: ({dir[0][0]:.6g}, {dir[0][1]:.6g}, {dir[0][2]:.6g})",
+        f"  {'':{wl}}   {'device (' + dtype_str + ')':{wd}}   oracle (f64)",
     ]
-    if win[0] < 0:
-        lines.append("  No intersection (environment)")
-    else:
-        node = scene.nodes[int(win[0])]
-        lines += [
-            f"  Hit node: '{node.name}' geometry={type(node.geometry).__name__} "
-            f"shader={type(node.shader).__name__}",
-            f"  Distance: {rec.dist[0]:.6g}",
-            f"  Color: ({color[0][0]:.6g}, {color[0][1]:.6g}, {color[0][2]:.6g})",
-            f"  Hit point: ({rec.p[0][0]:.6g}, {rec.p[0][1]:.6g}, {rec.p[0][2]:.6g})",
-            f"  Normal: ({rec.normal[0][0]:.6g}, {rec.normal[0][1]:.6g}, {rec.normal[0][2]:.6g})",
-            f"  UV: ({rec.u[0]:.6g}, {rec.v[0]:.6g})",
-        ]
+    for name, d, o in rows:
+        marker = "" if d == o else "   <- differs" if name in ("Hit node",) and d != o else ""
+        lines.append(f"  {name:{wl}}   {d:{wd}}   {o}{marker}")
     return "\n".join(lines)
 
 
@@ -83,6 +160,9 @@ def main(argv=None) -> int:
     ap.add_argument("--distributed", action="store_true", help="shard pixels over all visible devices")
     ap.add_argument("--debug-pixel", default=None, metavar="X,Y",
                     help="dump a single-pixel trace (click-to-inspect parity) and exit")
+    ap.add_argument("--interactive", action="store_true",
+                    help="progressive viewer + WASD camera drive (SDL2 window "
+                         "when pysdl2 is importable, 24-bit ANSI terminal otherwise)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quiet", "-q", action="store_true", help="skip the scene dump")
     ap.add_argument("--stats", action="store_true", help="print per-frame timing")
@@ -104,8 +184,16 @@ def main(argv=None) -> int:
 
     if args.debug_pixel:
         x, y = (int(v) for v in args.debug_pixel.split(","))
-        print(debug_pixel(scene, x, y))
+        print(debug_pixel(scene, x, y, args.dtype))
         return 0
+
+    if args.interactive:
+        import jax.numpy as jnp
+
+        from .gui.viewer import interactive_main
+
+        dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+        return interactive_main(path, dtype=dtype)
 
     t0 = time.perf_counter()
     if args.backend == "oracle":

@@ -59,7 +59,7 @@ from ..models.packed import (
 from .camera import begin_frame
 from .geometry import _oddeven_pairs
 
-TILE = (8, 128)
+TILE = (32, 128)  # larger sublane count amortizes per-grid-step overhead
 TILE_N = TILE[0] * TILE[1]
 INF = 1e30
 EPS_SHADOW = 1e-3  # f32 self-intersection offset (ops/shade.shadow_eps)
@@ -906,9 +906,10 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             # recompute miss-ray directions XLA-side (one cheap pass)
             frame = begin_frame(packed.camera, width / height)
             dt = packed.node_matrix.dtype
+            off = jnp.asarray(aa_offset, dtype=dt).reshape(2)
             lin = jnp.arange(n)
-            xs = (lin % width).astype(dt) + aa_offset[0]
-            ys = (lin // width).astype(dt) + aa_offset[1]
+            xs = (lin % width).astype(dt) + off[0]
+            ys = (lin // width).astype(dt) + off[1]
             from .camera import screen_rays
 
             _, dirs = screen_rays(packed.camera, frame, float(width), float(height), xs, ys, 0.0)
@@ -926,12 +927,17 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         return color
 
     def render(packed: ScenePacked, key=None):
-        img = render_tap(packed, (0.0, 0.0))
-        if static.aa_enabled:
-            for kx, ky in P.AA_KERNEL:
-                img = img + render_tap(packed, (kx, ky))
-            img = img / 5.0
-        return img.reshape(height, width, 3)
+        if not static.aa_enabled:
+            return render_tap(packed, jnp.zeros(2, jnp.float32)).reshape(height, width, 3)
+        # all 5 AA taps through ONE traced tap (the offset is a runtime
+        # SMEM parameter): 1/5th the trace/compile of unrolled taps
+        offsets = jnp.asarray([(0.0, 0.0)] + list(P.AA_KERNEL), dtype=jnp.float32)
+
+        def body(acc, off):
+            return acc + render_tap(packed, off), None
+
+        img, _ = jax.lax.scan(body, jnp.zeros((n, 3), jnp.float32), offsets)
+        return (img / 5.0).reshape(height, width, 3)
 
     render.tap = render_tap  # single-sample entry for tests / shims
     return render

@@ -23,9 +23,13 @@ import pathlib
 
 import pytest
 
-REFERENCE_DATA = pathlib.Path("/root/reference/data")
+# Scene/texture fixtures: the reference checkout's data/ tree, relocatable
+# via CHESS2RT_DATA_DIR (same env var the app honors, raytracer_demo.d:27).
+REFERENCE_DATA = pathlib.Path(os.environ.get("CHESS2RT_DATA_DIR", "/root/reference/data"))
 
 
 @pytest.fixture(scope="session")
 def data_dir() -> pathlib.Path:
+    if not REFERENCE_DATA.exists():
+        pytest.skip(f"scene data dir not found: {REFERENCE_DATA} (set CHESS2RT_DATA_DIR)")
     return REFERENCE_DATA

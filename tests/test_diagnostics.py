@@ -128,3 +128,32 @@ class TestCubemap:
         g = jax.grad(loss)(packed)
         assert np.isfinite(np.asarray(g.env_cubemap)).all()
         assert abs(np.asarray(g.env_cubemap).sum()) > 0
+
+
+class TestDebugPixel:
+    """--debug-pixel traces BOTH pipelines (VERDICT round-1 item 5): the
+    device dump must reflect the actual render pipeline, not the oracle."""
+
+    def test_device_and_oracle_sides(self, data_dir):
+        from chess2rt_tpu.app import _device_pixel_trace, _oracle_pixel_trace, debug_pixel
+
+        sc = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
+        sc.settings.frameWidth, sc.settings.frameHeight = 64, 48
+        sc.camera.set_frame_size(64, 48)
+        dev = _device_pixel_trace(sc, 32, 30)
+        orc = _oracle_pixel_trace(sc, 32, 30)
+        assert dev["win"] == orc["win"] == 0
+        np.testing.assert_allclose(dev["dist"], orc["dist"], rtol=1e-5)
+        np.testing.assert_allclose(dev["color"], orc["color"], atol=1e-4)
+        dump = debug_pixel(sc, 32, 30)
+        assert "device (f32)" in dump and "oracle (f64)" in dump
+        assert "Plane" in dump and "Lambert" in dump
+
+    def test_miss_pixel(self, data_dir):
+        from chess2rt_tpu.app import debug_pixel
+
+        sc = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
+        sc.settings.frameWidth, sc.settings.frameHeight = 64, 48
+        sc.camera.set_frame_size(64, 48)
+        dump = debug_pixel(sc, 32, 0)  # sky
+        assert "miss (environment)" in dump
