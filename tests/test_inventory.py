@@ -120,8 +120,10 @@ class TestInteractiveSession:
 
     def test_click_inspection(self, session):
         out = session.handle_click(16, 20)
-        assert "Hit node: 'floor'" in out
-        assert "Normal: (0, 1, 0)" in out
+        # the dump now shows device + oracle side by side (round-2 item 5)
+        assert "'floor'" in out
+        assert "device (f32)" in out and "oracle (f64)" in out
+        assert "(0, 1, 0)" in out  # plane normal
 
     def test_preview_matches_full_at_low_frequency(self, session):
         full = session.render(preview=False)
