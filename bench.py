@@ -170,8 +170,55 @@ def main():
     )
 
 
+def main_verify_counts():
+    """One-time validation of the 1/4-scale count extrapolation (round-2
+    VERDICT item 9): run the instrumented pass at BOTH 1/4 scale and full
+    1080p and report the relative delta of the extrapolated vs true
+    counts.  Slow (full-res unrolled stats pass) — not part of the normal
+    bench."""
+    from chess2rt_tpu.render.pipeline import begin_frame, render_samples
+
+    def counted(width, height):
+        packed_c, static_c = build(width, height)
+
+        def fn(p, k):
+            stats = {}
+            frame = begin_frame(p.camera, static_c.width / static_c.height)
+            dtp = p.node_matrix.dtype
+            ys, xs = jnp.meshgrid(
+                jnp.arange(static_c.height, dtype=dtp),
+                jnp.arange(static_c.width, dtype=dtp),
+                indexing="ij",
+            )
+            render_samples(p, static_c, frame, xs.reshape(-1), ys.reshape(-1), k, stats=stats)
+            return stats
+
+        return {k: float(v) for k, v in jax.jit(fn)(packed_c, jax.random.PRNGKey(0)).items()}
+
+    quarter = counted(WIDTH // 4, HEIGHT // 4)
+    full = counted(WIDTH, HEIGHT)
+    scale = 16.0
+    report = {}
+    for k in sorted(full):
+        extrap = quarter.get(k, 0.0) * scale
+        delta = abs(extrap - full[k]) / max(full[k], 1.0)
+        report[k] = round(delta, 5)
+        print(f"# {k}: full {full[k]:.0f} vs extrapolated {extrap:.0f} "
+              f"(delta {delta*100:.3f}%)", file=sys.stderr)
+    total_full = sum(full.values())
+    total_ex = sum(quarter.values()) * scale
+    print(json.dumps({
+        "metric": "count_extrapolation_delta",
+        "value": round(abs(total_ex - total_full) / total_full, 6),
+        "unit": "relative",
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
     if "--grad" in sys.argv:
         main_grad()
+    elif "--verify-counts" in sys.argv:
+        main_verify_counts()
     else:
         main()

@@ -154,6 +154,10 @@ class SceneStatic:
     # per-ray scatter-add (slow on TPU); disable when texels aren't being
     # optimized
     train_textures: bool = True
+    # texel-cotangent accumulation strategy (ops/shade._quad_gather):
+    # "sorted" pre-sorts by texel key so the scatter-add is monotone;
+    # "scatter" is the naive duplicate-index scatter-add
+    texel_grad_mode: str = "sorted"
     # forward-only: use the fused Pallas primary kernel when the scene is
     # supported (ops/pallas_trace.supports); ignored otherwise
     use_pallas: bool = False

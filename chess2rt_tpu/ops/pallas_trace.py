@@ -59,7 +59,7 @@ from ..models.packed import (
 from .camera import begin_frame
 from .geometry import _oddeven_pairs
 
-TILE = (32, 128)  # larger sublane count amortizes per-grid-step overhead
+TILE = (8, 128)  # native VPU tile; (32, 128) measured marginally slower
 TILE_N = TILE[0] * TILE[1]
 INF = 1e30
 EPS_SHADOW = 1e-3  # f32 self-intersection offset (ops/shade.shadow_eps)

@@ -161,13 +161,71 @@ def bitmap_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=No
     # the 2x2 bilinear neighbourhood with the reference's edge wrap
     # (bitmap.d:55-56), built in-graph so texel gradients stay exact.
     quads = _quad_atlas(atlas, static.bitmap_sizes)
-    g = quads[b, iyi, ixi]  # [N, 12]
+    g = _quad_gather(static.texel_grad_mode, quads, b, iyi, ixi)  # [N, 12]
     return (
         g[..., 0:3] * (1 - p) * (1 - q)
         + g[..., 3:6] * p * (1 - q)
         + g[..., 6:9] * (1 - p) * q
         + g[..., 9:12] * p * q
     )
+
+
+# --------------------------------------------------------------------------
+# Texel-gradient custom VJP (round-2 VERDICT item 2)
+# --------------------------------------------------------------------------
+#
+# The VJP of the per-ray quad gather is a scatter-add of [N, 12] cotangents
+# into the quad atlas — with heavy index duplication (many rays land on the
+# same texel), XLA's TPU scatter serializes and was 54% of a whole
+# fwd+bwd step in round 1.  ``sorted`` mode pre-sorts the cotangents by
+# flat texel key (lax.sort is a gather-free bitonic network on TPU) so the
+# scatter-add sees monotonically non-decreasing indices
+# (indices_are_sorted=True), which XLA lowers far more efficiently than
+# the duplicate-random-order scatter.  Both modes are bit-exactly the same
+# gradient (addition order within a texel differs — covered by the FD
+# tests at their tolerance).
+
+
+def _f0(x):
+    import numpy as np
+
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _quad_gather(mode, quads, b, iy, ix):
+    return quads[b, iy, ix]
+
+
+def _quad_gather_fwd(mode, quads, b, iy, ix):
+    return quads[b, iy, ix], (b, iy, ix, quads.shape)
+
+
+def _quad_gather_bwd(mode, res, g):
+    b, iy, ix, shape = res
+    T_, H, W, C = shape
+    flat_n = b.reshape(-1).shape[0]
+    key = ((b * H + iy) * W + ix).reshape(flat_n)
+    gf = g.reshape(flat_n, C)
+    if mode == "sorted" and flat_n > 1:
+        ops = (key,) + tuple(gf[:, c] for c in range(C))
+        s = jax.lax.sort(ops, num_keys=1)
+        sk = s[0]
+        sg = jnp.stack(s[1:], axis=-1)
+        dq = (
+            jnp.zeros((T_ * H * W, C), g.dtype)
+            .at[sk]
+            .add(sg, indices_are_sorted=True, mode="drop")
+        )
+    else:
+        dq = jnp.zeros((T_ * H * W, C), g.dtype).at[key].add(gf, mode="drop")
+    return dq.reshape(T_, H, W, C), _f0(b), _f0(iy), _f0(ix)
+
+
+_quad_gather.defvjp(_quad_gather_fwd, _quad_gather_bwd)
 
 
 def _quad_atlas(atlas, sizes):

@@ -39,6 +39,37 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (AXIS,))
 
 
+def make_mesh_2d(devices=None, hosts=None) -> Mesh:
+    """2-D (hosts x chips) mesh (SURVEY.md §5.8).  Pixels shard over BOTH
+    axes (the flat ray batch is tiled over the full device grid); the
+    gradient all-reduce then decomposes into a chip-axis reduce riding ICI
+    and a host-axis reduce riding DCN.  ``hosts`` defaults to
+    jax.process_count() when multi-process, else the largest power-of-two
+    split."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if hosts is None:
+        hosts = jax.process_count()
+        if hosts <= 1 or n % hosts:
+            hosts = 1
+            while n % (hosts * 2) == 0 and (hosts * 2) * (hosts * 2) <= n:
+                hosts *= 2
+    assert n % hosts == 0, (n, hosts)
+    return Mesh(devices.reshape(hosts, n // hosts), ("host", "chip"))
+
+
+def _axes(mesh: Mesh):
+    return tuple(mesh.axis_names)
+
+
+def _linear_index(axes):
+    """Global linear shard index over (possibly several) mesh axes."""
+    idx = jax.lax.axis_index(axes[0])
+    for a in axes[1:]:
+        idx = idx * jax.lax.psum(1, a) + jax.lax.axis_index(a)
+    return idx
+
+
 def _pixel_coords(static: SceneStatic, n_shards: int, dtype):
     """Flat pixel coords padded to a multiple of the shard count.  Padding
     pixels re-render pixel (0, 0) and are dropped on reshape."""
@@ -77,17 +108,19 @@ def _sample_pixels(packed: ScenePacked, static: SceneStatic, xf, yf, key):
 
 def make_sharded_render_fn(static: SceneStatic, mesh: Mesh):
     """Compile ``fn(packed, key) -> [H, W, 3]`` with pixels sharded over the
-    mesh.  Per-shard work = the plain single-chip sampling pipeline."""
+    mesh (1-D "px" or 2-D (host, chip) — the flat ray batch tiles over ALL
+    mesh axes).  Per-shard work = the plain single-chip pipeline."""
+    axes = _axes(mesh)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P()),
-        out_specs=P(AXIS),
+        in_specs=(P(), P(axes), P(axes), P()),
+        out_specs=P(axes),
     )
     def shard_render(packed: ScenePacked, xf, yf, key):
         # decorrelate stochastic sampling (DoF/GI jitter) across shards
-        key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+        key = jax.random.fold_in(key, _linear_index(axes))
         return _sample_pixels(packed, static, xf, yf, key)
 
     n_shards = mesh.devices.size
@@ -96,8 +129,8 @@ def make_sharded_render_fn(static: SceneStatic, mesh: Mesh):
     def fn(packed: ScenePacked, key):
         dt = packed.node_matrix.dtype
         xf, yf, _ = _pixel_coords(static, n_shards, np.float64)
-        xs = jax.device_put(jnp.asarray(xf, dtype=dt), NamedSharding(mesh, P(AXIS)))
-        ys = jax.device_put(jnp.asarray(yf, dtype=dt), NamedSharding(mesh, P(AXIS)))
+        xs = jax.device_put(jnp.asarray(xf, dtype=dt), NamedSharding(mesh, P(axes)))
+        ys = jax.device_put(jnp.asarray(yf, dtype=dt), NamedSharding(mesh, P(axes)))
         flat = shard_render(packed, xs, ys, key)
         return _frame_from_samples(flat, static)
 
@@ -118,6 +151,7 @@ def make_sharded_value_and_grad(static: SceneStatic, mesh: Mesh):
 
     loss = mean squared error against the target frame."""
     n_shards = mesh.devices.size
+    axes = _axes(mesh)
 
     def shard_loss(packed, xf, yf, target, weight, key):
         img = _sample_pixels(packed, static, xf, yf, key)
@@ -127,33 +161,41 @@ def make_sharded_value_and_grad(static: SceneStatic, mesh: Mesh):
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS, None), P(AXIS), P()),
+        in_specs=(P(), P(axes), P(axes), P(axes, None), P(axes), P()),
         out_specs=(P(), P()),
+        # the texel-gradient custom VJP (ops/shade._quad_gather) is opaque
+        # to the varying-mesh-axes inference, which then can't prove the
+        # grads replicated; the explicit psums below make it true by
+        # construction (asserted against single-device grads in
+        # tests/test_parallel.py)
+        check_vma=False,
     )
     def shard_step(packed, xf, yf, target, weight, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+        key = jax.random.fold_in(key, _linear_index(axes))
         loss, grads = jax.value_and_grad(shard_loss)(packed, xf, yf, target, weight, key)
-        # ``packed`` enters with spec P() (replicated over the mesh), so
-        # shard_map's AD transposes its broadcast with an automatic psum:
-        # ``grads`` is already the cross-shard-summed (= global, since the
-        # per-shard loss carries the global normalization) gradient — this
-        # IS the ICI/DCN all-reduce of SURVEY.md §5.8, inserted by the
-        # partitioner and overlapped with backward compute.  The scalar loss
-        # is still per-shard and needs its explicit psum.
-        return jax.lax.psum(loss, AXIS), grads
+        # Per-shard gradients are combined by ONE explicit psum per leaf —
+        # the ICI/DCN all-reduce of SURVEY.md §5.8 (on a 2-D (host, chip)
+        # mesh XLA decomposes it into an ICI stage and a DCN stage),
+        # overlapped with backward compute by the latency-hiding scheduler.
+        # (With check_vma=False — needed because the texel-gradient
+        # custom VJP is opaque to the replication checker — shard_map does
+        # NOT insert the broadcast-transpose psum automatically; grads
+        # correctness vs single-device is pinned by tests/test_parallel.py.)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axes), grads)
+        return jax.lax.psum(loss, axes), grads
 
     @jax.jit
     def fn(packed: ScenePacked, target, key):
         dt = packed.node_matrix.dtype
         xf, yf, n = _pixel_coords(static, n_shards, np.float64)
         pad = xf.shape[0] - n
-        sh = NamedSharding(mesh, P(AXIS))
+        sh = NamedSharding(mesh, P(axes))
         xs = jax.device_put(jnp.asarray(xf, dtype=dt), sh)
         ys = jax.device_put(jnp.asarray(yf, dtype=dt), sh)
         tflat = target.reshape(-1, 3).astype(dt)
         tflat = jnp.concatenate([tflat, jnp.zeros((pad, 3), dtype=dt)])
         weight = jnp.concatenate([jnp.ones(n, dtype=dt), jnp.zeros(pad, dtype=dt)])
-        tflat = jax.device_put(tflat, NamedSharding(mesh, P(AXIS, None)))
+        tflat = jax.device_put(tflat, NamedSharding(mesh, P(axes, None)))
         weight = jax.device_put(weight, sh)
         return shard_step(packed, xs, ys, tflat, weight, key)
 

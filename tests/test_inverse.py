@@ -152,3 +152,42 @@ class TestCheckpoint:
         prob2 = dataclasses.replace(prob, steps=20)
         fitted2, losses2 = fit(wrong, prob2)
         assert len(losses2) == 10  # steps 10..19 only
+
+
+class TestTexelGradModes:
+    """ops/shade._quad_gather: the sorted-scatter VJP must produce the
+    same texel gradients as the naive scatter-add (round-2 item 2)."""
+
+    def test_modes_agree_and_match_fd(self, data_dir):
+        import dataclasses
+
+        from chess2rt_tpu.render.pipeline import render_frame
+
+        sc = parse_scene_from_file(str(data_dir / "lecture5.sdl"))
+        sc.settings.frameWidth, sc.settings.frameHeight = 40, 30
+        sc.camera.set_frame_size(40, 30)
+        sc.settings.AAEnabled = False
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        key = jax.random.PRNGKey(0)
+
+        def loss_fn(st):
+            return lambda p: (render_frame(p, st, key) ** 2).mean()
+
+        g_sorted = jax.grad(loss_fn(dataclasses.replace(static, texel_grad_mode="sorted")))(packed)
+        g_scatter = jax.grad(loss_fn(dataclasses.replace(static, texel_grad_mode="scatter")))(packed)
+        a = np.asarray(g_sorted.bitmap_atlas)
+        b = np.asarray(g_scatter.bitmap_atlas)
+        assert np.abs(a).sum() > 0  # texel grads actually flow
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-4)
+
+        # FD check one well-hit texel
+        idx = np.unravel_index(np.abs(a).argmax(), a.shape)
+        eps = 1e-2
+        lf = loss_fn(static)
+        atlas = np.asarray(packed.bitmap_atlas)
+        up = atlas.copy(); up[idx] += eps
+        dn = atlas.copy(); dn[idx] -= eps
+        f_up = float(lf(dataclasses.replace(packed, bitmap_atlas=jnp.asarray(up))))
+        f_dn = float(lf(dataclasses.replace(packed, bitmap_atlas=jnp.asarray(dn))))
+        fd = (f_up - f_dn) / (2 * eps)
+        np.testing.assert_allclose(a[idx], fd, rtol=2e-2)

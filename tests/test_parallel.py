@@ -92,3 +92,74 @@ class TestShardedGrad:
         )
         l1, _ = vg(stepped, target, key)
         assert float(l1) < float(l0)
+
+
+class TestMesh2D:
+    """2-D (hosts x chips) mesh (SURVEY.md §5.8, round-2 VERDICT item 6):
+    same math as the 1-D mesh; the all-reduce decomposes into ICI + DCN
+    stages on real hardware."""
+
+    def test_make_mesh_2d_shape(self):
+        from chess2rt_tpu.parallel.mesh import make_mesh_2d
+
+        m = make_mesh_2d()
+        assert m.devices.shape == (2, 4)
+        assert m.axis_names == ("host", "chip")
+
+    def test_render_bit_identical_to_1d(self, scene, mesh):
+        from chess2rt_tpu.parallel.mesh import make_mesh_2d
+
+        packed, static = pack_scene(scene, dtype=jnp.float32)
+        key = jax.random.PRNGKey(0)
+        a = np.asarray(make_sharded_render_fn(static, mesh)(packed, key))
+        b = np.asarray(make_sharded_render_fn(static, make_mesh_2d())(packed, key))
+        np.testing.assert_array_equal(a, b)
+
+    def test_grads_match_1d_mesh(self, scene, mesh):
+        from chess2rt_tpu.parallel.mesh import make_mesh_2d
+
+        packed, static = pack_scene(scene, dtype=jnp.float32)
+        key = jax.random.PRNGKey(0)
+        target = jnp.zeros((static.height, static.width, 3), jnp.float32)
+        l1, g1 = make_sharded_value_and_grad(static, mesh)(packed, target, key)
+        l2, g2 = make_sharded_value_and_grad(static, make_mesh_2d())(packed, target, key)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+class TestCheckpointRestart:
+    """Mid-run checkpoint save/restore reproduces the uninterrupted loss
+    trajectory bit-for-bit (§5.3/§5.4 elastic-restart story)."""
+
+    def test_restart_trajectory_exact(self, scene, mesh, tmp_path):
+        import optax
+
+        from chess2rt_tpu.grad.checkpoint import load_pytree, save_pytree
+
+        packed, static = pack_scene(scene, dtype=jnp.float32)
+        vg = make_sharded_value_and_grad(static, mesh)
+        opt = optax.adam(1e-2)
+        key = jax.random.PRNGKey(0)
+        target = jnp.zeros((static.height, static.width, 3), jnp.float32)
+
+        @jax.jit
+        def step(params, opt_state, k):
+            loss, grads = vg(params, target, k)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params, opt_state = packed, opt.init(packed)
+        losses = []
+        ck = str(tmp_path / "mid.npz")
+        for s in range(3):
+            params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, s))
+            losses.append(float(loss))
+            if s == 0:
+                save_pytree(ck, {"params": params, "opt": opt_state}, step=s)
+
+        snap, _ = load_pytree(ck, {"params": packed, "opt": opt.init(packed)})
+        rp, ro = snap["params"], snap["opt"]
+        for s in range(1, 3):
+            rp, ro, rl = step(rp, ro, jax.random.fold_in(key, s))
+            assert float(rl) == losses[s], (s, float(rl), losses[s])
