@@ -105,10 +105,14 @@ def main():
     import dataclasses
 
     packed, static = build()
-    # forward-only early-exit rounds; 259200-ray slabs bound peak HBM;
-    # bounce rounds compact to 1/16 of the slab (mirror coverage is ~5%; overflow falls back to full width)
+    # round-2 config: the fused Pallas primary kernel covers the full
+    # flagship scene (CSG + bitmaps + transforms + mirror); bounce rounds
+    # run compacted (measured continuing set: ~92k rays at 1080p, capacity
+    # 129600 with a lax.cond full-width fallback) behind an early-exit
+    # while_loop.  Measured round 2: 263.7 ms/frame vs 501.9 ms for the
+    # pure-XLA path on the same machine.
     static = dataclasses.replace(
-        static, fast_forward=True, chunk_pixels=259200, bounce_capacity=259200 // 16
+        static, use_pallas=True, fast_forward=True, bounce_capacity=2073600 // 16
     )
     from chess2rt_tpu.render.pipeline import AA_KERNEL, begin_frame, render_frame, render_samples
 

@@ -207,6 +207,10 @@ def main(argv=None) -> int:
         dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
         if args.dtype == "f64":
             jax.config.update("jax_enable_x64", True)
+            # f64 is the oracle-parity debugging dtype; TPUs have no native
+            # f64 (emulation through the remote tunnel effectively hangs),
+            # so route it to the CPU backend.
+            jax.config.update("jax_platforms", "cpu")
         key = jax.random.PRNGKey(args.seed)
         if args.distributed:
             from .models.packed import pack_scene

@@ -894,11 +894,10 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         winc = jnp.maximum(win, 0)
         need_tables = has_bitmap or has_refl
         onehot = S.node_onehot(static, winc) if need_tables else None
-        _, tex_kind_tab, _ = S.node_kind_tables(static)
         if has_bitmap:
             tex = S.bitmap_color(packed, static, winc, o["u"], o["v"], onehot)
             L = jnp.stack([o["lr"], o["lg"], o["lb"]], axis=-1)
-            is_bmp = (tex_kind_tab[winc] == TEX_BITMAP) & (win >= 0)
+            is_bmp = (S.tex_kind_of(static, winc) == TEX_BITMAP) & (win >= 0)
             color = color + jnp.where(is_bmp[..., None], tex * L, 0.0)
         if static.has_env:
             from .env import sample_cubemap
@@ -916,8 +915,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             env = sample_cubemap(packed.env_cubemap, dirs)
             color = color + jnp.where((win < 0)[..., None], env, 0.0)
         if has_refl:
-            sk_tab = S.node_kind_tables(static)[0]
-            cont = (win >= 0) & (sk_tab[winc] == REFLECTION)
+            cont = (win >= 0) & (S.shader_kind_of(static, winc) == REFLECTION)
             atten = jnp.where(
                 cont[..., None], S.node_gather(onehot, packed.mat_color), 1.0
             )

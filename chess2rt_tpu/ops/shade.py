@@ -62,6 +62,34 @@ def node_kind_tables(static: SceneStatic):
     return jnp.asarray(shader_kind), jnp.asarray(tex_kind), jnp.asarray(bitmap_idx)
 
 
+def static_select(winc, values, dtype=jnp.int32):
+    """Per-ray lookup of a STATICALLY-known per-node value via a
+    compare-select chain instead of a table gather.
+
+    ``tab[winc]`` with a tiny device table lowers to a per-ray gather —
+    ~latency-bound on TPU, the same cost class as a full texture fetch.
+    The per-node values here (shader kind, texture kind, bitmap index)
+    are Python constants, so a chain of ``where(winc == i, v_i, ...)``
+    compiles to pure VPU compares/selects, collapsing runs of equal
+    values.  O(#distinct values) selects, zero gathers."""
+    values = list(values)
+    if not values:
+        return jnp.zeros(winc.shape, dtype)
+    out = jnp.full(winc.shape, values[0], dtype)
+    for i, v in enumerate(values[1:], 1):
+        if v != values[0]:
+            out = jnp.where(winc == i, jnp.asarray(v, dtype), out)
+    return out
+
+
+def shader_kind_of(static: SceneStatic, winc):
+    return static_select(winc, [n.shader_kind for n in static.nodes])
+
+
+def tex_kind_of(static: SceneStatic, winc):
+    return static_select(winc, [n.tex_kind for n in static.nodes])
+
+
 def node_onehot(static: SceneStatic, winc):
     """[N, Nn] one-hot of the winning node id.
 
@@ -89,10 +117,9 @@ def texture_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=N
     """Per-ray diffuse color: flat material color or the node's texture.
     ``winc`` is the winning node id clipped to >= 0; node-table lookups go
     through the one-hot contraction (see node_onehot)."""
-    _, tex_kind_tab, bitmap_idx_tab = node_kind_tables(static)
     if onehot is None:
         onehot = node_onehot(static, winc)
-    tk = tex_kind_tab[winc]
+    tk = tex_kind_of(static, winc)
     out = node_gather(onehot, packed.mat_color)
     present = static.tex_kinds_present
 
@@ -135,12 +162,16 @@ def bitmap_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=No
     defer exactly this gather to XLA: Mosaic has no per-lane dynamic
     indexing, so the kernel emits (win, u, v) and this function turns them
     into texels."""
-    _, _, bitmap_idx_tab = node_kind_tables(static)
     if onehot is None:
         onehot = node_onehot(static, winc)
-    b = bitmap_idx_tab[winc]
-    hw = packed.bitmap_hw[b]
-    h, w = hw[..., 0], hw[..., 1]
+    # texture row + true (h, w) via static compare-select chains — table
+    # gathers here cost as much as the texel fetch itself (see
+    # static_select); sizes come from the static bitmap_sizes, which the
+    # packed bitmap_hw mirrors
+    b = static_select(winc, [max(n.bitmap_idx, 0) for n in static.nodes])
+    sizes = static.bitmap_sizes or ((1, 1),)
+    h = static_select(b, [s[0] for s in sizes], packed.bitmap_atlas.dtype)
+    w = static_select(b, [s[1] for s in sizes], packed.bitmap_atlas.dtype)
     scaling = node_gather(onehot, packed.bitmap_scaling)
     uu = u * scaling
     vv = v * scaling
@@ -195,13 +226,20 @@ def _f0(x):
 from functools import partial  # noqa: E402
 
 
+def _flat_take(quads, b, iy, ix):
+    # one flat 1-D gather instead of a 3-D multi-index gather: fewer index
+    # operands for XLA's TPU gather lowering
+    T_, H, W, C = quads.shape
+    return quads.reshape(T_ * H * W, C)[(b * H + iy) * W + ix]
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _quad_gather(mode, quads, b, iy, ix):
-    return quads[b, iy, ix]
+    return _flat_take(quads, b, iy, ix)
 
 
 def _quad_gather_fwd(mode, quads, b, iy, ix):
-    return quads[b, iy, ix], (b, iy, ix, quads.shape)
+    return _flat_take(quads, b, iy, ix), (b, iy, ix, quads.shape)
 
 
 def _quad_gather_bwd(mode, res, g):
@@ -258,9 +296,8 @@ def shade_direct(packed: ScenePacked, static: SceneStatic, ray_dir, hit, winc):
 
     Lambert: diffuse * (ambient + sum_lights visible * lightColor/d^2 * cos)
     Phong adds the untinted cos^n specular (shader.d:246-249); the specular
-    term is masked to Phong-shaded rays via the node kind table."""
-    shader_kind_tab, _, _ = node_kind_tables(static)
-    skind = shader_kind_tab[winc]
+    term is masked to Phong-shaded rays via a static select chain."""
+    skind = shader_kind_of(static, winc)
     onehot = node_onehot(static, winc)
     N = faceforward(ray_dir, hit["normal"])
     diffuse = texture_color(packed, static, winc, hit["u"], hit["v"], onehot)

@@ -68,7 +68,7 @@ def _whitted_round(packed, static, shader_kind_tab, color, atten, alive, orig, d
     hit, win = G.scene_closest(packed, static, orig, dir)
     hitmask = alive & (win >= 0)
     winc = jnp.maximum(win, 0)
-    skind = shader_kind_tab[winc]
+    skind = S.shader_kind_of(static, winc)
 
     direct = S.shade_direct(packed, static, dir, hit, winc)
     is_direct = (skind == LAMBERT) | (skind == PHONG)
