@@ -65,8 +65,11 @@ def main_grad():
 
     w, h = 640, 480
     packed, static = build(w, h)
-    # compaction is differentiable (cond/gather/scatter all have VJPs)
-    static = dataclasses.replace(static, aa_enabled=False, bounce_capacity=w * h // 4)
+    # compaction is differentiable (cond/gather/scatter all have VJPs);
+    # continuing set at this resolution is ~14k rays -> capacity //16.
+    # Dead bounce rounds are skipped by the differentiable lax.cond in
+    # _run_rounds; texel grads use the sorted-scatter VJP (both default).
+    static = dataclasses.replace(static, aa_enabled=False, bounce_capacity=w * h // 16)
     key = jax.random.PRNGKey(0)
     target = jnp.zeros((h, w, 3), dtype=jnp.float32)
 

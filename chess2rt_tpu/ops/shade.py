@@ -315,6 +315,12 @@ def shade_direct(packed: ScenePacked, static: SceneStatic, ray_dir, hit, winc):
         nonzero = lc.mean() != 0
         vis = G.test_visibility(packed, static, shade_from, jnp.broadcast_to(lp, shade_from.shape))
         vis &= nonzero
+        # named so the remat policy stores the boolean mask instead of
+        # re-running the whole any-hit scan in the backward pass (the
+        # scan's own VJP is zero — comparisons only); see _run_rounds
+        from jax.ad_checkpoint import checkpoint_name
+
+        vis = checkpoint_name(vis, "shadow_vis")
         to_light = lp - hit["p"]
         light_dir = _norm(to_light)
         cos_theta = dot(light_dir, N)

@@ -183,13 +183,29 @@ def _run_rounds(packed, static, shader_kind_tab, carry, n_rounds):
         return out
 
     def one_round(c):
-        return _whitted_round(packed, static, shader_kind_tab, *c, True)
+        # differentiable early exit: a round with an all-dead wavefront is
+        # exactly the identity (every contribution is alive-masked), so
+        # skip its compute — and its backward — with a cond.  TPU executes
+        # only the taken branch, and cond is reverse-differentiable, which
+        # lax.while_loop's early exit is not.
+        return jax.lax.cond(
+            c[2].any(),
+            lambda c: _whitted_round(packed, static, shader_kind_tab, *c, True),
+            lambda c: c,
+            c,
+        )
 
     if static.remat_rounds:
-        # without remat, each scan step stores residuals like
-        # f32[N, 1] that TPU tiling pads 128x -> HBM blowup in the
-        # backward; recomputing the round is far cheaper
-        one_round = jax.checkpoint(one_round)
+        # Without remat, each scan step stores residuals like f32[N, 1]
+        # that TPU tiling pads 128x -> HBM blowup in the backward.  The
+        # policy keeps the shadow-visibility booleans (checkpoint_name in
+        # shade_direct): they are cheap to store, their producers (the
+        # per-light any-hit scans) have zero VJP, and saving them removes
+        # those scans from the backward recompute entirely.
+        one_round = jax.checkpoint(
+            one_round,
+            policy=jax.checkpoint_policies.save_only_these_names("shadow_vis"),
+        )
 
     def scan_body(c, _):
         return one_round(c), None
