@@ -166,12 +166,22 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quiet", "-q", action="store_true", help="skip the scene dump")
     ap.add_argument("--stats", action="store_true", help="print per-frame timing")
+    ap.add_argument("--log-json", default=None, metavar="PATH",
+                    help="append structured JSON-lines event records (scene "
+                         "load, frame timing) to PATH ('-' = stderr)")
     args = ap.parse_args(argv)
 
     from .scene.loader import parse_scene_from_file
+    from .utils import structlog
+
+    if args.log_json:
+        stream = sys.stderr if args.log_json == "-" else open(args.log_json, "a")
+        structlog.configure(stream=stream)
+    log = structlog.get_logger()
 
     path = args.file or default_scene_path()
     scene = parse_scene_from_file(path)
+    log.emit("scene_loaded", path=path, nodes=len(scene.nodes), lights=len(scene.lights))
 
     if args.size:
         w, h = (int(v) for v in args.size.lower().split("x"))
@@ -196,6 +206,8 @@ def main(argv=None) -> int:
         return interactive_main(path, dtype=dtype)
 
     t0 = time.perf_counter()
+    frame_rec = {"scene": path, "backend": args.backend, "dtype": args.dtype,
+                 "width": scene.settings.frameWidth, "height": scene.settings.frameHeight}
     if args.backend == "oracle":
         from .oracle import render_scene
 
@@ -226,6 +238,7 @@ def main(argv=None) -> int:
 
         img = np.asarray(jax.block_until_ready(img))
     dt = time.perf_counter() - t0
+    log.emit("frame", wall_ms=round(dt * 1e3, 3), **frame_rec)
 
     out_path = args.output or screenshot_name()
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)

@@ -109,7 +109,11 @@ class InteractiveSession:
         return img
 
     def render(self, preview: bool = False) -> np.ndarray:
-        self.frame = self._render(preview)
+        from ..utils.structlog import get_logger
+
+        with get_logger().frame(scene=self.scene_path, preview=preview) as rec:
+            self.frame = self._render(preview)
+            rec["width"], rec["height"] = self.frame.shape[1], self.frame.shape[0]
         if self.display is not None:
             self.display(self.frame)
         return self.frame

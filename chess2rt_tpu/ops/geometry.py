@@ -478,26 +478,33 @@ def _sphere_dists(center, r, orig, dir):
 
 
 def _cube_dists(center, side, orig, dir):
+    """Slab-method (t_enter, t_exit): a fraction of the six-face test's
+    ops — dist-only callers (shadow scans, CSG interval walks) don't need
+    face identity.  Axis-parallel rays (d_k ~ 0) outside the slab produce
+    +/-inf bounds through the guarded reciprocal, which the final min/max
+    handles exactly like the reference's per-face miss."""
     half = side * 0.5
-    dists = []
-    for axis, s, _, _ in _CUBE_FACES:
+    t_enter = None
+    t_exit = None
+    for axis in range(3):
         d_k = dir[..., axis]
         o_k = orig[..., axis]
-        valid = jnp.abs(d_k) >= 1e-9
-        inv_d = jnp.where(valid, -1.0 / jnp.where(valid, d_k, 1.0), 0.0)
-        mult = (o_k - (center[..., axis] + s * half)) * inv_d
-        p = orig + dir * mult[..., None]
-        oa, ob = (axis + 1) % 3, (axis + 2) % 3
-        inside = (
-            (p[..., oa] >= center[..., oa] - half)
-            & (p[..., oa] <= center[..., oa] + half)
-            & (p[..., ob] >= center[..., ob] - half)
-            & (p[..., ob] <= center[..., ob] + half)
-        )
-        ok = valid & (mult >= 0) & inside
-        dists.append(jnp.where(ok, mult, INF))
-    d = jnp.stack(dists, axis=-1)
-    return _sort_hit_fields({"dist": d})["dist"][..., :2]
+        ok = jnp.abs(d_k) >= 1e-9
+        inv = 1.0 / jnp.where(ok, d_k, 1.0)
+        t1 = (center[..., axis] - half - o_k) * inv
+        t2 = (center[..., axis] + half - o_k) * inv
+        tn = jnp.minimum(t1, t2)
+        tf = jnp.maximum(t1, t2)
+        # parallel ray: inside the slab -> (-INF, INF); outside -> miss
+        inside = (o_k >= center[..., axis] - half) & (o_k <= center[..., axis] + half)
+        tn = jnp.where(ok, tn, jnp.where(inside, -INF, INF))
+        tf = jnp.where(ok, tf, jnp.where(inside, INF, -INF))
+        t_enter = tn if t_enter is None else jnp.maximum(t_enter, tn)
+        t_exit = tf if t_exit is None else jnp.minimum(t_exit, tf)
+    hit = (t_enter <= t_exit) & (t_exit >= 0)
+    d1 = jnp.where(hit & (t_enter >= 0), t_enter, INF)
+    d2 = jnp.where(hit, t_exit, INF)
+    return jnp.stack([jnp.minimum(d1, d2), jnp.maximum(d1, d2)], axis=-1)
 
 
 def all_hit_dists_expr(packed: ScenePacked, expr, orig, dir):

@@ -400,6 +400,32 @@ def _geom_builders(p):
             second = new_second
         return [best, second]
 
+    def cube_slab_dists(b, ox, oy, oz, dx, dy, dz):
+        """Slab-method (t_enter, t_exit) — the dist-only cube test for
+        shadow scans / CSG walks (mirrors ops/geometry._cube_dists)."""
+        cx, cy, cz, side = p(b), p(b + 1), p(b + 2), p(b + 3)
+        half = side * 0.5
+        o3, d3, c3 = (ox, oy, oz), (dx, dy, dz), (cx, cy, cz)
+        t_enter = None
+        t_exit = None
+        for axis in range(3):
+            dk, ok_, ck = d3[axis], o3[axis], c3[axis]
+            valid = jnp.abs(dk) >= 1e-9
+            inv = 1.0 / jnp.where(valid, dk, 1.0)
+            t1 = (ck - half - ok_) * inv
+            t2 = (ck + half - ok_) * inv
+            tn = jnp.minimum(t1, t2)
+            tf = jnp.maximum(t1, t2)
+            inside = (ok_ >= ck - half) & (ok_ <= ck + half)
+            tn = jnp.where(valid, tn, jnp.where(inside, -INF, INF))
+            tf = jnp.where(valid, tf, jnp.where(inside, INF, -INF))
+            t_enter = tn if t_enter is None else jnp.maximum(t_enter, tn)
+            t_exit = tf if t_exit is None else jnp.minimum(t_exit, tf)
+        hit = (t_enter <= t_exit) & (t_exit >= 0)
+        d1 = jnp.where(hit & (t_enter >= 0), t_enter, INF)
+        d2 = jnp.where(hit, t_exit, INF)
+        return [jnp.minimum(d1, d2), jnp.maximum(d1, d2)]
+
     # ---- inside tests (geometry.d:127-130, :165-170, :334-337) --------
 
     def is_inside(expr, px, py, pz):
@@ -510,7 +536,7 @@ def _geom_builders(p):
             has, x1, x2 = _sphere_roots(expr[1], ox, oy, oz, dx, dy, dz)
             return [jnp.where(has & (x2 >= 0), x2, INF), jnp.where(has & (x1 >= 0), x1, INF)]
         if kind == "cube":
-            return [h["t"] for h in cube_two_hits(expr[1], ox, oy, oz, dx, dy, dz)]
+            return cube_slab_dists(expr[1], ox, oy, oz, dx, dy, dz)
         _, op, left, right = expr
         ld = dists_only(left, ox, oy, oz, dx, dy, dz)
         rd = dists_only(right, ox, oy, oz, dx, dy, dz)
@@ -545,11 +571,7 @@ def _geom_builders(p):
             sol = jnp.where(x2 < 0, x1, x2)
             return jnp.where(has & (sol >= 0), sol, INF)
         if expr[0] == "cube":
-            cands = _cube_faces(expr[1], ox, oy, oz, dx, dy, dz)
-            best = cands[0]["t"]
-            for c in cands[1:]:
-                best = jnp.minimum(best, c["t"])
-            return best
+            return cube_slab_dists(expr[1], ox, oy, oz, dx, dy, dz)[0]
         ds = dists_only(expr, ox, oy, oz, dx, dy, dz)
         best = ds[0]
         for d in ds[1:]:

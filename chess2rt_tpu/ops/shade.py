@@ -249,6 +249,10 @@ def _quad_gather_bwd(mode, res, g):
     key = ((b * H + iy) * W + ix).reshape(flat_n)
     gf = g.reshape(flat_n, C)
     if mode == "sorted" and flat_n > 1:
+        # sort the payload columns along with the key: a (key, perm)
+        # 2-operand sort followed by a [N, 12] permutation gather measured
+        # SLOWER in the full grad step (the permutation gather is the
+        # per-ray-gather cost class this path exists to avoid)
         ops = (key,) + tuple(gf[:, c] for c in range(C))
         s = jax.lax.sort(ops, num_keys=1)
         sk = s[0]

@@ -142,3 +142,29 @@ class TestGiNeeExtension:
         b = np.asarray(render_frame(packed, st_p, jax.random.PRNGKey(0)))
         assert b.mean() < a.mean()
         assert b.mean() > 0
+
+class TestDispatchOrder:
+    def test_gi_beats_stereo(self, data_dir):
+        """renderSample checks GIEnabled before the default (stereo) path
+        (renderer.d:254-268): a GI+stereo scene path-traces MONO.  The
+        reference-semantics GI output here is exactly black (solidAngle
+        quirk); a stereo Whitted render would be colorful — so black proves
+        GI won the dispatch."""
+        sc = _scene(data_dir, paths=4)
+        sc.camera.stereoSeparation = 2.0
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert static.stereo and static.gi_enabled
+        img = np.asarray(render_frame(packed, static, jax.random.PRNGKey(0)))
+        np.testing.assert_array_equal(img, 0.0)
+
+    def test_dof_beats_gi(self, data_dir):
+        """camera.dof dispatches before GIEnabled (renderer.d:254-268):
+        DoF renders Whitted samples, so the image is NOT black even with
+        GIEnabled set."""
+        sc = _scene(data_dir, paths=4)
+        sc.camera.dof = True
+        sc.camera.numSamples = 2
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert static.dof and static.gi_enabled
+        img = np.asarray(render_frame(packed, static, jax.random.PRNGKey(0)))
+        assert img.max() > 0.01
