@@ -73,21 +73,38 @@ def main_grad():
     key = jax.random.PRNGKey(0)
     target = jnp.zeros((h, w, 3), dtype=jnp.float32)
 
-    def loss(p):
-        return ((render_frame(p, static, key) - target) ** 2).mean()
+    def loss(p, k):
+        return ((render_frame(p, static, k) - target) ** 2).mean()
 
-    vg = jax.jit(jax.value_and_grad(loss))
-    l0, _ = vg(packed)  # compile
+    # STEPS_PER_CALL fwd+bwd steps inside one program (see main(): one
+    # program execution carries ~30 ms tunnel roundtrip latency; measuring
+    # per-step throughput requires amortizing it).  Every grad leaf feeds
+    # the checksum so no part of the backward can be dead-code-eliminated.
+    STEPS_PER_CALL = 4
+
+    def many(p, keys):
+        def body(acc, k):
+            l, g = jax.value_and_grad(loss)(p, k)
+            gsum = sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            # tiny nonzero weight: keeps every grad leaf live (0.0 * gsum
+            # could be algebraically simplified away) without perturbing
+            # the finiteness check
+            return acc + l + 1e-30 * gsum, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+        return acc
+
+    vg = jax.jit(many)
+    keys = jax.random.split(key, STEPS_PER_CALL)
+    l0 = vg(packed, keys)  # compile
     assert np.isfinite(float(l0))
 
     times = []
     for i in range(REPEATS):
         t0 = time.perf_counter()
-        l, g = vg(packed)
-        float(l)
-        float(jnp.sum(g.light_power))  # force the grad pytree
+        float(vg(packed, jax.random.split(jax.random.fold_in(key, i), STEPS_PER_CALL)))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = min(times) / STEPS_PER_CALL
 
     stats = frame_ray_stats(packed, static, key)
     total = stats["total"]
@@ -122,19 +139,35 @@ def main():
     # The timed function reduces the frame to a checksum on-device: timing
     # ends when the scalar arrives on the host, which guarantees the full
     # frame was actually computed (block_until_ready through a remote
-    # tunnel can return before device completion).
-    fn = jax.jit(lambda p, k: render_frame(p, static, k).sum())
-    key = jax.random.PRNGKey(0)
+    # tunnel can return before device completion).  FRAMES_PER_CALL frames
+    # run inside ONE program (lax.scan over keys) so the measurement is
+    # per-frame THROUGHPUT: a single program execution through the axon
+    # tunnel carries a measured ~30 ms host<->device roundtrip latency
+    # (a bare scalar op costs the same), which production pipelining
+    # amortizes and a per-frame-call measurement would mis-charge to
+    # render work.
+    FRAMES_PER_CALL = 4
 
-    checksum = float(fn(packed, key))  # warmup / compile
+    def many(p, keys):
+        def body(acc, k):
+            return acc + render_frame(p, static, k).sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+        return acc
+
+    fn = jax.jit(many)
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, FRAMES_PER_CALL)
+
+    checksum = float(fn(packed, keys))  # warmup / compile
     assert np.isfinite(checksum) and checksum > 0, checksum
 
     times = []
     for i in range(REPEATS):
         t0 = time.perf_counter()
-        float(fn(packed, jax.random.fold_in(key, i)))
+        float(fn(packed, jax.random.split(jax.random.fold_in(key, i), FRAMES_PER_CALL)))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = min(times) / FRAMES_PER_CALL
 
     # Exact ray counts via an instrumented (unrolled, untimed) pass at 1/4
     # linear scale, base AA tap only: hit/shadow/bounce fractions are

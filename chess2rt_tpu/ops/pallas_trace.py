@@ -304,10 +304,14 @@ def _geom_builders(p):
         pz = oz + dz * t
         ok = (~miss) & nonzero & (jnp.abs(px) <= limit) & (jnp.abs(pz) <= limit)
         z = zeros_like(t)
-        return dict(
-            t=jnp.where(ok, t, INF), px=px, py=jnp.full_like(t, y0), pz=pz,
-            nx=z, ny=z + 1.0, nz=z, u=px, v=pz,
-        )
+        # slim record: no position fields (p = o + d*t is recomputed where
+        # needed) and UVs only for textured nodes — fewer live tiles means
+        # fewer Mosaic register spills (the kernel is spill-bound, not
+        # flop-bound: its runtime was insensitive to scene content)
+        rec = dict(t=jnp.where(ok, t, INF), nx=z, ny=z + 1.0, nz=z)
+        if needs_uv:
+            rec["u"], rec["v"] = px, pz
+        return rec
 
     def _sphere_roots(b, ox, oy, oz, dx, dy, dz):
         cx, cy, cz, r = p(b), p(b + 1), p(b + 2), p(b + 3)
@@ -324,20 +328,14 @@ def _geom_builders(p):
     def _sphere_record(b, ox, oy, oz, dx, dy, dz, t, ok, needs_uv):
         cx, cy, cz, r = p(b), p(b + 1), p(b + 2), p(b + 3)
         ts = jnp.where(ok, t, 0.0)
-        px, py, pz = ox + dx * ts, oy + dy * ts, oz + dz * ts
-        rx, ry, rz = px - cx, py - cy, pz - cz
+        rx, ry, rz = ox + dx * ts - cx, oy + dy * ts - cy, oz + dz * ts - cz
         inv = _rsqrt(rx * rx + ry * ry + rz * rz)
-        z = zeros_like(t)
+        rec = dict(t=jnp.where(ok, t, INF), nx=rx * inv, ny=ry * inv, nz=rz * inv)
         if needs_uv:
             # spherical UVs (geometry.d:110-117) via polynomial atan2/asin
-            u = (_PI + atan2_poly(rz, rx)) / (2 * _PI)
-            v = 1.0 - (_PI / 2 + asin_poly(ry / r)) / _PI
-        else:
-            u = v = z
-        return dict(
-            t=jnp.where(ok, t, INF), px=px, py=py, pz=pz,
-            nx=rx * inv, ny=ry * inv, nz=rz * inv, u=u, v=v,
-        )
+            rec["u"] = (_PI + atan2_poly(rz, rx)) / (2 * _PI)
+            rec["v"] = 1.0 - (_PI / 2 + asin_poly(ry / r)) / _PI
+        return rec
 
     def sphere_closest(b, ox, oy, oz, dx, dy, dz, needs_uv):
         has, x1, x2 = _sphere_roots(b, ox, oy, oz, dx, dy, dz)
@@ -348,7 +346,7 @@ def _geom_builders(p):
     # face order matches ops/geometry._CUBE_FACES: (axis, sign, u_axis, v_axis)
     _FACES = ((1, -1.0, 0, 2), (1, 1.0, 0, 2), (0, -1.0, 1, 2), (0, 1.0, 1, 2), (2, -1.0, 0, 1), (2, 1.0, 0, 1))
 
-    def _cube_faces(b, ox, oy, oz, dx, dy, dz):
+    def _cube_faces(b, ox, oy, oz, dx, dy, dz, needs_uv):
         cx, cy, cz, side = p(b), p(b + 1), p(b + 2), p(b + 3)
         half = side * 0.5
         o3, d3, c3 = (ox, oy, oz), (dx, dy, dz), (cx, cy, cz)
@@ -370,25 +368,23 @@ def _geom_builders(p):
             z = zeros_like(t)
             n = [z, z, z]
             n[axis] = z + s
-            cands.append(
-                dict(
-                    t=jnp.where(hit_ok, t, INF), px=pxs[0], py=pxs[1], pz=pxs[2],
-                    nx=n[0], ny=n[1], nz=n[2], u=pxs[ua] - c3[ua], v=pxs[va] - c3[va],
-                )
-            )
+            rec = dict(t=jnp.where(hit_ok, t, INF), nx=n[0], ny=n[1], nz=n[2])
+            if needs_uv:
+                rec["u"], rec["v"] = pxs[ua] - c3[ua], pxs[va] - c3[va]
+            cands.append(rec)
         return cands
 
     def cube_closest(b, ox, oy, oz, dx, dy, dz, needs_uv):
-        cands = _cube_faces(b, ox, oy, oz, dx, dy, dz)
+        cands = _cube_faces(b, ox, oy, oz, dx, dy, dz, needs_uv)
         best = cands[0]
         for c in cands[1:]:
             best = _sel(c["t"] < best["t"], c, best)
         return best
 
-    def cube_two_hits(b, ox, oy, oz, dx, dy, dz):
+    def cube_two_hits(b, ox, oy, oz, dx, dy, dz, needs_uv):
         """The (<= 2) valid face crossings, ascending, via a running
         best/second pass (cheaper than a 6-slot sorting network)."""
-        cands = _cube_faces(b, ox, oy, oz, dx, dy, dz)
+        cands = _cube_faces(b, ox, oy, oz, dx, dy, dz, needs_uv)
         best, second = cands[0], cands[1]
         sw = second["t"] < best["t"]
         best, second = _sel(sw, second, best), _sel(sw, best, second)
@@ -468,7 +464,7 @@ def _geom_builders(p):
             h1 = _sphere_record(expr[1], ox, oy, oz, dx, dy, dz, x1, has & (x1 >= 0), needs_uv)
             return [h2, h1]
         if kind == "cube":
-            return cube_two_hits(expr[1], ox, oy, oz, dx, dy, dz)
+            return cube_two_hits(expr[1], ox, oy, oz, dx, dy, dz, needs_uv)
 
         _, op, left, right = expr
         lh = all_hits(left, ox, oy, oz, dx, dy, dz, needs_uv)
@@ -501,8 +497,10 @@ def _geom_builders(p):
             h.pop("side")
             if op == "diff":
                 # CsgDiff normal flip (geometry.d:377-397): eaten-out surface
-                before = is_inside(right, h["px"] - dx * 1e-6, h["py"] - dy * 1e-6, h["pz"] - dz * 1e-6)
-                after = is_inside(right, h["px"] + dx * 1e-6, h["py"] + dy * 1e-6, h["pz"] + dz * 1e-6)
+                ts = jnp.where(valid, h["t"], 0.0)
+                hx, hy, hz = ox + dx * ts, oy + dy * ts, oz + dz * ts
+                before = is_inside(right, hx - dx * 1e-6, hy - dy * 1e-6, hz - dz * 1e-6)
+                after = is_inside(right, hx + dx * 1e-6, hy + dy * 1e-6, hz + dz * 1e-6)
                 flip = (before != after) & state
                 sgn = jnp.where(flip, -1.0, 1.0)
                 h["nx"], h["ny"], h["nz"] = h["nx"] * sgn, h["ny"] * sgn, h["nz"] * sgn
@@ -581,18 +579,30 @@ def _geom_builders(p):
     return expr_closest, expr_min_dist
 
 
-def build_round0_kernel(static: SceneStatic, width: int, height: int, interpret: bool = False):
-    """Returns fn(packed, aa_offset) -> dict of flat [Npad] arrays:
-    color [N,3], win [N] (int32, -1 = miss), and — when the scene needs
-    them — lightsum [N,3], u [N], v [N], refl_orig [N,3], refl_dir [N,3].
+def build_round0_kernel(
+    static: SceneStatic,
+    width: int,
+    height: int,
+    interpret: bool = False,
+    n_rays: int = None,
+):
+    """Returns fn(packed, aa_offset) -> dict of flat [N] arrays:
+    color [N], win [N] (int32, -1 = miss), and — when the scene needs
+    them — lightsum, u, v, refl_orig, refl_dir components.
 
     The function executes ONE fused pallas_call: ray-gen, closest-hit over
     every node (CSG + transforms in-kernel), per-light shadow scans, and
     direct Lambert/Phong shading with in-kernel checker/procedure2
     texturing.  Bitmap texels and bounce continuations are left for XLA
-    (see render_flagship)."""
+    (see render_flagship).
+
+    With ``n_rays`` set, ray-gen is skipped and the kernel traces caller
+    rays instead: fn(packed, orig3, dir3) with six flat [n_rays] arrays —
+    the BOUNCE-round kernel (continuation rays re-enter the same fused
+    machinery at compacted width)."""
     assert supports(static)
-    n = width * height
+    ray_input = n_rays is not None
+    n = n_rays if ray_input else width * height
     n_pad = -(-n // TILE_N) * TILE_N
     grid = (n_pad // TILE_N,)
 
@@ -602,7 +612,12 @@ def build_round0_kernel(static: SceneStatic, width: int, height: int, interpret:
     has_refl = REFLECTION in static.shader_kinds_present
     has_phong = PHONG in static.shader_kinds_present
 
-    def kernel(prm_ref, *outs):
+    def kernel(prm_ref, *refs):
+        if ray_input:
+            rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref = refs[:6]
+            outs = refs[6:]
+        else:
+            outs = refs
         it = iter(outs)
         out_r, out_g, out_b = next(it), next(it), next(it)
         out_win = next(it)
@@ -618,25 +633,29 @@ def build_round0_kernel(static: SceneStatic, width: int, height: int, interpret:
 
         expr_closest, expr_min_dist = _geom_builders(p)
 
-        pid = pl.program_id(0)
-        base = pid * TILE_N
-        lin = (
-            base
-            + jax.lax.broadcasted_iota(jnp.int32, TILE, 0) * TILE[1]
-            + jax.lax.broadcasted_iota(jnp.int32, TILE, 1)
-        )
-        xpix = ((lin % width).astype(jnp.float32) + p(off["aa"])) / width
-        ypix = ((lin // width).astype(jnp.float32) + p(off["aa"] + 1)) / height
+        if ray_input:
+            ox, oy, oz = rox_ref[:], roy_ref[:], roz_ref[:]
+            dx, dy, dz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
+        else:
+            pid = pl.program_id(0)
+            base = pid * TILE_N
+            lin = (
+                base
+                + jax.lax.broadcasted_iota(jnp.int32, TILE, 0) * TILE[1]
+                + jax.lax.broadcasted_iota(jnp.int32, TILE, 1)
+            )
+            xpix = ((lin % width).astype(jnp.float32) + p(off["aa"])) / width
+            ypix = ((lin // width).astype(jnp.float32) + p(off["aa"] + 1)) / height
 
-        # ray-gen (camera.d:119-147) on pos-free corners
-        c = off["cam"]
-        dx = p(c + 0) + p(c + 3) * xpix + p(c + 6) * ypix
-        dy = p(c + 1) + p(c + 4) * xpix + p(c + 7) * ypix
-        dz = p(c + 2) + p(c + 5) * xpix + p(c + 8) * ypix
-        inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-        dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
-        zero = jnp.zeros_like(dx)
-        ox, oy, oz = zero + p(c + 9), zero + p(c + 10), zero + p(c + 11)
+            # ray-gen (camera.d:119-147) on pos-free corners
+            c = off["cam"]
+            dx = p(c + 0) + p(c + 3) * xpix + p(c + 6) * ypix
+            dy = p(c + 1) + p(c + 4) * xpix + p(c + 7) * ypix
+            dz = p(c + 2) + p(c + 5) * xpix + p(c + 8) * ypix
+            inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+            dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+            zero = jnp.zeros_like(dx)
+            ox, oy, oz = zero + p(c + 9), zero + p(c + 10), zero + p(c + 11)
 
         # ---- per-node closest hit with transforms (node.d:23-68) ------
         def node_closest(i, ox, oy, oz, dx, dy, dz):
@@ -646,11 +665,10 @@ def build_round0_kernel(static: SceneStatic, width: int, height: int, interpret:
             if ns.identity_transform:
                 return expr_closest(expr, ox, oy, oz, dx, dy, dz, needs_uv)
             if ns.offset_only:
+                # translation leaves t, normals and canonic UVs untouched;
+                # world p is recomputed from the world ray by the caller
                 b = off[f"n{i}_off"]
-                fx, fy, fz = p(b), p(b + 1), p(b + 2)
-                h = expr_closest(expr, ox - fx, oy - fy, oz - fz, dx, dy, dz, needs_uv)
-                h["px"], h["py"], h["pz"] = h["px"] + fx, h["py"] + fy, h["pz"] + fz
-                return h
+                return expr_closest(expr, ox - p(b), oy - p(b + 1), oz - p(b + 2), dx, dy, dz, needs_uv)
             b = off[f"n{i}_mtx"]
             m = [p(b + k) for k in range(9)]  # row-major
             mi = [p(b + 9 + k) for k in range(9)]
@@ -678,15 +696,18 @@ def build_round0_kernel(static: SceneStatic, width: int, height: int, interpret:
                 expr, co[0], co[1], co[2], cd[0] * inv_dl, cd[1] * inv_dl, cd[2] * inv_dl, needs_uv
             )
             miss = h["t"] >= INF
-            wp = mulr((h["px"], h["py"], h["pz"]), m)
+            # world p = orig + dir * (t / dlen) exactly (the dist rescaling
+            # makes the world-ray parameterization consistent), so no p
+            # round-trip through the matrix is needed
             wn = mulr_T((h["nx"], h["ny"], h["nz"]), mi)
             ninv = _rsqrt(wn[0] ** 2 + wn[1] ** 2 + wn[2] ** 2)
-            return dict(
+            out = dict(
                 t=jnp.where(miss, INF, h["t"] * inv_dl),
-                px=wp[0] + fx, py=wp[1] + fy, pz=wp[2] + fz,
                 nx=wn[0] * ninv, ny=wn[1] * ninv, nz=wn[2] * ninv,
-                u=h["u"], v=h["v"],
             )
+            if needs_uv:
+                out["u"], out["v"] = h["u"], h["v"]
+            return out
 
         def node_min_dist(i, ox, oy, oz, dx, dy, dz):
             ns = static.nodes[i]
@@ -710,11 +731,15 @@ def build_round0_kernel(static: SceneStatic, width: int, height: int, interpret:
             d = expr_min_dist(expr, cox, coy, coz, cdx * inv_dl, cdy * inv_dl, cdz * inv_dl)
             return jnp.where(d >= INF, INF, d * inv_dl)
 
+        any_uv = any(ns.tex_kind != TEX_NONE for ns in static.nodes)
+
         def scene_scan(ox, oy, oz, dx, dy, dz):
             best = None
             win = jnp.full(TILE, -1, dtype=jnp.int32)
             for i in range(len(static.nodes)):
                 cand = node_closest(i, ox, oy, oz, dx, dy, dz)
+                if any_uv and "u" not in cand:
+                    cand["u"] = cand["v"] = jnp.zeros(TILE, jnp.float32)
                 if best is None:
                     best = cand
                     win = jnp.where(cand["t"] < INF, i, win)
@@ -726,6 +751,10 @@ def build_round0_kernel(static: SceneStatic, width: int, height: int, interpret:
 
         hit, win = scene_scan(ox, oy, oz, dx, dy, dz)
         hitmask = win >= 0
+        # world hit point recomputed once from the winning t (records are
+        # position-free; dead lanes use t=0 to stay finite)
+        ts = jnp.where(hitmask, hit["t"], 0.0)
+        hpx, hpy, hpz = ox + dx * ts, oy + dy * ts, oz + dz * ts
 
         # faceforward (imported_types.d:69-73)
         ndotd = dx * hit["nx"] + dy * hit["ny"] + dz * hit["nz"]
@@ -787,13 +816,13 @@ def build_round0_kernel(static: SceneStatic, width: int, height: int, interpret:
         sr = jnp.zeros(TILE, jnp.float32)
         sg = jnp.zeros(TILE, jnp.float32)
         sb = jnp.zeros(TILE, jnp.float32)
-        sx = hit["px"] + nx * EPS_SHADOW
-        sy = hit["py"] + ny * EPS_SHADOW
-        sz = hit["pz"] + nz * EPS_SHADOW
+        sx = hpx + nx * EPS_SHADOW
+        sy = hpy + ny * EPS_SHADOW
+        sz = hpz + nz * EPS_SHADOW
         for li in range(static.n_lights):
             lbase = off[f"light{li}"]
             lx, ly, lz = p(lbase), p(lbase + 1), p(lbase + 2)
-            tlx, tly, tlz = lx - hit["px"], ly - hit["py"], lz - hit["pz"]
+            tlx, tly, tlz = lx - hpx, ly - hpy, lz - hpz
             dist2 = tlx * tlx + tly * tly + tlz * tlz
             inv_l = _rsqrt(dist2)
             ldx, ldy, ldz = tlx * inv_l, tly * inv_l, tlz * inv_l
@@ -875,17 +904,46 @@ def build_round0_kernel(static: SceneStatic, width: int, height: int, interpret:
         jax.ShapeDtypeStruct((n_pad // TILE[1], TILE[1]), dt) for dt in dtypes
     ]
 
-    def run(packed: ScenePacked, aa_offset=(0.0, 0.0)):
-        prm = pack(packed, aa_offset)
-        outs = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=out_specs,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(prm)
-        return {k: o.reshape(-1)[:n] for k, o in zip(names, outs)}
+    ray_spec = pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def _pad_rays(a, fill=0.0):
+        pad = n_pad - n
+        if pad:
+            a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+        return a.reshape(n_pad // TILE[1], TILE[1])
+
+    if ray_input:
+
+        def run(packed: ScenePacked, orig, dir, aa_offset=(0.0, 0.0)):
+            prm = pack(packed, aa_offset)
+            # padding lanes get unit-z directions: zero dirs would exercise
+            # the guarded-reciprocal edge cases for nothing
+            rays = [_pad_rays(orig[:, k]) for k in range(3)] + [
+                _pad_rays(dir[:, k], fill=float(k == 2)) for k in range(3)
+            ]
+            outs = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 6,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(prm, *rays)
+            return {k: o.reshape(-1)[:n] for k, o in zip(names, outs)}
+
+    else:
+
+        def run(packed: ScenePacked, aa_offset=(0.0, 0.0)):
+            prm = pack(packed, aa_offset)
+            outs = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(prm)
+            return {k: o.reshape(-1)[:n] for k, o in zip(names, outs)}
 
     return run
 
@@ -897,7 +955,8 @@ def build_round0_kernel(static: SceneStatic, width: int, height: int, interpret:
 
 def build_flagship_renderer(static: SceneStatic, width: int, height: int, interpret: bool = False):
     """Full flagship forward renderer: fused Pallas round 0 + XLA texture
-    gather / env / compacted bounce rounds + the 5-tap AA loop.
+    gather / env + Pallas bounce rounds (ray-input kernel at compacted
+    width) + the 5-tap AA loop.
 
     Returns fn(packed) -> [H, W, 3] radiance."""
     from ..render import pipeline as P
@@ -909,41 +968,106 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
     rounds = (static.max_trace_depth + 1) if has_refl else 1
     n = width * height
 
-    def render_tap(packed: ScenePacked, aa_offset):
-        o = kern(packed, aa_offset)
+    # bounce rounds re-enter the fused kernel at compacted width (rounded
+    # up to whole kernel tiles)
+    cap = static.bounce_capacity
+    use_pallas_bounce = has_refl and cap and cap < n
+    if use_pallas_bounce:
+        cap = -(-cap // TILE_N) * TILE_N
+        kern_bounce = build_round0_kernel(static, width, height, interpret, n_rays=cap)
+
+    def combine(packed, o, dirs_or_none):
+        """Kernel outputs -> (direct color incl. deferred texels + env,
+        continuation mask, attenuation factor, refl orig, refl dir)."""
         win = o["win"]
         color = jnp.stack([o["r"], o["g"], o["b"]], axis=-1)
         winc = jnp.maximum(win, 0)
-        need_tables = has_bitmap or has_refl
-        onehot = S.node_onehot(static, winc) if need_tables else None
+        onehot = S.node_onehot(static, winc) if (has_bitmap or has_refl) else None
         if has_bitmap:
             tex = S.bitmap_color(packed, static, winc, o["u"], o["v"], onehot)
             L = jnp.stack([o["lr"], o["lg"], o["lb"]], axis=-1)
             is_bmp = (S.tex_kind_of(static, winc) == TEX_BITMAP) & (win >= 0)
             color = color + jnp.where(is_bmp[..., None], tex * L, 0.0)
-        if static.has_env:
+        if static.has_env and dirs_or_none is not None:
             from .env import sample_cubemap
 
-            # recompute miss-ray directions XLA-side (one cheap pass)
-            frame = begin_frame(packed.camera, width / height)
-            dt = packed.node_matrix.dtype
-            off = jnp.asarray(aa_offset, dtype=dt).reshape(2)
-            lin = jnp.arange(n)
-            xs = (lin % width).astype(dt) + off[0]
-            ys = (lin // width).astype(dt) + off[1]
-            from .camera import screen_rays
-
-            _, dirs = screen_rays(packed.camera, frame, float(width), float(height), xs, ys, 0.0)
-            env = sample_cubemap(packed.env_cubemap, dirs)
+            env = sample_cubemap(packed.env_cubemap, dirs_or_none)
             color = color + jnp.where((win < 0)[..., None], env, 0.0)
-        if has_refl:
-            cont = (win >= 0) & (S.shader_kind_of(static, winc) == REFLECTION)
-            atten = jnp.where(
-                cont[..., None], S.node_gather(onehot, packed.mat_color), 1.0
+        if not has_refl:
+            return color, None, None, None, None
+        cont = (win >= 0) & (S.shader_kind_of(static, winc) == REFLECTION)
+        atten = jnp.where(cont[..., None], S.node_gather(onehot, packed.mat_color), 1.0)
+        ro = jnp.stack([o["rox"], o["roy"], o["roz"]], axis=-1)
+        rd = jnp.stack([o["rdx"], o["rdy"], o["rdz"]], axis=-1)
+        return color, cont, atten, ro, rd
+
+    def _tap_dirs(packed, aa_offset):
+        """Miss-ray directions recomputed XLA-side for the env term."""
+        from .camera import screen_rays
+
+        frame = begin_frame(packed.camera, width / height)
+        dt = packed.node_matrix.dtype
+        off = jnp.asarray(aa_offset, dtype=dt).reshape(2)
+        lin = jnp.arange(n)
+        xs = (lin % width).astype(dt) + off[0]
+        ys = (lin // width).astype(dt) + off[1]
+        _, dirs = screen_rays(packed.camera, frame, float(width), float(height), xs, ys, 0.0)
+        return dirs
+
+    def pallas_bounces(packed, color, atten0, alive, orig, dir, n_rounds):
+        """Compact the continuation set, then run each remaining round
+        through the ray-input kernel — the XLA node scans were the last
+        expensive piece of the combine.  Overflow falls back to the XLA
+        full-width rounds (correctness never depends on the bound)."""
+        count = alive.sum()
+
+        def full_path(color, atten, alive, orig, dir):
+            return P.continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds)
+
+        def compact_path(color, atten, alive, orig, dir):
+            idx = jnp.arange(n, dtype=jnp.int32)
+            pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+            sel = (
+                jnp.zeros(cap, dtype=jnp.int32)
+                .at[jnp.where(alive, pos, cap)]
+                .set(idx, mode="drop")
             )
-            ro = jnp.stack([o["rox"], o["roy"], o["roz"]], axis=-1)
-            rd = jnp.stack([o["rdx"], o["rdy"], o["rdz"]], axis=-1)
-            color = P.continue_bounces(packed, static, color, atten, cont, ro, rd, rounds - 1)
+            lane_live = jnp.arange(cap) < count
+            def one_round(carry):
+                sub_color, at, a, o3, d3 = carry
+                o = kern_bounce(packed, o3, d3)
+                c, cont, mult, ro, rd = combine(packed, o, d3 if static.has_env else None)
+                sub_color = sub_color + jnp.where(a[..., None], at * c, 0.0)
+                cont = cont & a
+                at = at * jnp.where(cont[..., None], mult, 1.0)
+                o3 = jnp.where(cont[..., None], ro, o3)
+                d3 = jnp.where(cont[..., None], rd, d3)
+                return sub_color, at, cont, o3, d3
+
+            carry = (
+                jnp.zeros((cap, 3), dtype=color.dtype),
+                atten[sel],
+                lane_live,
+                orig[sel],
+                dir[sel],
+            )
+            for _ in range(n_rounds):
+                # skip all-dead rounds at runtime (TPU executes one branch)
+                carry = jax.lax.cond(carry[2].any(), one_round, lambda c: c, carry)
+            sub_color = carry[0]
+            return color.at[sel].add(jnp.where(lane_live[..., None], sub_color, 0.0))
+
+        return jax.lax.cond(count <= cap, compact_path, full_path, color, atten0, alive, orig, dir)
+
+    def render_tap(packed: ScenePacked, aa_offset):
+        o = kern(packed, aa_offset)
+        dirs = _tap_dirs(packed, aa_offset) if static.has_env else None
+        color, cont, atten, ro, rd = combine(packed, o, dirs)
+        if has_refl:
+            if use_pallas_bounce:
+                color = pallas_bounces(packed, color, atten, cont, ro, rd, rounds - 1)
+            else:
+                color = P.continue_bounces(packed, static, color, atten, cont, ro, rd, rounds - 1)
         return color
 
     def render(packed: ScenePacked, key=None):
