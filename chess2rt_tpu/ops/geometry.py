@@ -25,6 +25,7 @@ u [N,K], v [N,K], sorted ascending by dist with +INF padding.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..models.packed import ScenePacked, max_hits
@@ -62,13 +63,42 @@ def plane_closest(y, limit, orig, dir):
     return {"dist": dist, "p": p, "normal": n, "u": p[..., 0], "v": p[..., 2]}
 
 
+@jax.custom_jvp
+def _safe_arcsin(x):
+    return jnp.arcsin(x)
+
+
+@_safe_arcsin.defjvp
+def _safe_arcsin_jvp(primals, tangents):
+    # arcsin' = 1/sqrt(1-x^2) is infinite at |x| = 1: a ray hitting a
+    # sphere's exact pole poisons EVERY upstream gradient (sphere params,
+    # camera) with NaN.  Forward stays exact; the derivative is clamped —
+    # the standard differentiable-rendering compromise at a UV singularity.
+    (x,), (t,) = primals, tangents
+    return jnp.arcsin(x), t * jax.lax.rsqrt(jnp.maximum(1.0 - x * x, 1e-12))
+
+
+@jax.custom_jvp
+def _safe_arctan2(y, x):
+    return jnp.arctan2(y, x)
+
+
+@_safe_arctan2.defjvp
+def _safe_arctan2_jvp(primals, tangents):
+    # d atan2 = (x dy - y dx) / (x^2 + y^2): NaN at the origin (a pole
+    # hit, where rel_x = rel_z = 0).  Same clamp rationale as _safe_arcsin.
+    (y, x), (ty, tx) = primals, tangents
+    denom = jnp.maximum(x * x + y * y, 1e-12)
+    return jnp.arctan2(y, x), (x * ty - y * tx) / denom
+
+
 def _sphere_record(center, r, orig, dir, t):
     p = orig + dir * t[..., None]
     rel = p - center
     normal = _norm(rel)
-    angle = jnp.arctan2(rel[..., 2], rel[..., 0])
+    angle = _safe_arctan2(rel[..., 2], rel[..., 0])
     u = (jnp.pi + angle) / (2 * jnp.pi)
-    v = 1.0 - (jnp.pi / 2 + jnp.arcsin(jnp.clip(rel[..., 1] / r, -1.0, 1.0))) / jnp.pi
+    v = 1.0 - (jnp.pi / 2 + _safe_arcsin(jnp.clip(rel[..., 1] / r, -1.0, 1.0))) / jnp.pi
     return {"p": p, "normal": normal, "u": u, "v": v}
 
 

@@ -191,3 +191,35 @@ class TestTexelGradModes:
         f_dn = float(lf(dataclasses.replace(packed, bitmap_atlas=jnp.asarray(dn))))
         fd = (f_up - f_dn) / (2 * eps)
         np.testing.assert_allclose(a[idx], fd, rtol=2e-2)
+
+
+def test_all_grad_leaves_finite_flagship(data_dir):
+    """EVERY ScenePacked gradient leaf must be finite on the flagship
+    scene (textured sphere + CSG + mirror).  Round-2 regression: arcsin /
+    arctan2 pole hits on the globe produced NaN derivatives that poisoned
+    sphere and camera gradients (ops/geometry._safe_arcsin/_safe_arctan2
+    clamp the UV-singularity derivative, forward exact)."""
+    import dataclasses
+
+    from chess2rt_tpu.models import types as T
+    from chess2rt_tpu.render.pipeline import render_frame
+
+    sc = parse_scene_from_file(str(data_dir / "lecture5.sdl"))
+    sc.settings.frameWidth, sc.settings.frameHeight = 64, 48
+    sc.camera.set_frame_size(64, 48)
+    sc.settings.AAEnabled = False
+    m = T.Reflection(name="m", color=(0.9, 0.9, 0.9))
+    sc.shaders.append(m)
+    sc.nodes.append(
+        T.Node(name="mb", geometry=T.Sphere(name="mbs", center=(0, 60, 360), R=55.0), shader=m)
+    )
+    packed, static = pack_scene(sc, dtype=jnp.float32)
+    static = dataclasses.replace(static, bounce_capacity=64 * 48 // 4)
+    l, g = jax.value_and_grad(
+        lambda p: (render_frame(p, static, jax.random.PRNGKey(0)) ** 2).mean()
+    )(packed)
+    assert np.isfinite(float(l))
+    for path, leaf in jax.tree_util.tree_flatten_with_path(g)[0]:
+        assert np.isfinite(np.asarray(leaf)).all(), jax.tree_util.keystr(path)
+    # the globe's geometry gradients actually flow (not just finite zeros)
+    assert np.abs(np.asarray(g.sphere_r)).sum() > 0
