@@ -66,8 +66,13 @@ EPS_SHADOW = 1e-3  # f32 self-intersection offset (ops/shade.shadow_eps)
 
 
 def supports(static: SceneStatic) -> bool:
-    """True when the fused kernel covers this scene + sampling mode."""
-    if static.dof or static.gi_enabled or static.stereo:
+    """True when the fused kernel covers this scene + sampling mode.
+
+    DoF and stereo run through the ray-input kernel (XLA generates the
+    jittered/offset rays with the same jax.random stream as the pure-XLA
+    path, the kernel traces them); GI still needs BRDF sampling and falls
+    back to XLA."""
+    if static.gi_enabled:
         return False
     for ns in static.nodes:
         if ns.shader_kind not in (LAMBERT, PHONG, REFLECTION):
@@ -1059,16 +1064,87 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
 
         return jax.lax.cond(count <= cap, compact_path, full_path, color, atten0, alive, orig, dir)
 
+    def _finish_bounces(packed, color, cont, atten, ro, rd):
+        if not has_refl:
+            return color
+        if use_pallas_bounce:
+            return pallas_bounces(packed, color, atten, cont, ro, rd, rounds - 1)
+        return P.continue_bounces(packed, static, color, atten, cont, ro, rd, rounds - 1)
+
     def render_tap(packed: ScenePacked, aa_offset):
         o = kern(packed, aa_offset)
         dirs = _tap_dirs(packed, aa_offset) if static.has_env else None
         color, cont, atten, ro, rd = combine(packed, o, dirs)
-        if has_refl:
-            if use_pallas_bounce:
-                color = pallas_bounces(packed, color, atten, cont, ro, rd, rounds - 1)
-            else:
-                color = P.continue_bounces(packed, static, color, atten, cont, ro, rd, rounds - 1)
-        return color
+        return _finish_bounces(packed, color, cont, atten, ro, rd)
+
+    mc_mode = static.dof or static.stereo
+    if mc_mode:
+        # DoF / stereo: XLA generates the (jittered, offset) rays with the
+        # SAME jax.random stream as render/pipeline.render_samples, the
+        # ray-input kernel traces them — MC modes get the fused path too.
+        kern_rays = build_round0_kernel(static, width, height, interpret, n_rays=n)
+
+        def trace_rays(packed, orig, dir):
+            o = kern_rays(packed, orig, dir)
+            color, cont, atten, ro, rd = combine(packed, o, dir if static.has_env else None)
+            return _finish_bounces(packed, color, cont, atten, ro, rd)
+
+        def render(packed: ScenePacked, key=None):
+            from .camera import screen_rays
+
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            frame = begin_frame(packed.camera, width / height)
+            dt = packed.node_matrix.dtype
+            lin = jnp.arange(n)
+            xf = (lin % width).astype(dt)
+            yf = (lin // width).astype(dt)
+            W, H = float(width), float(height)
+
+            def trace_one(xx, yy, k):
+                if static.stereo:
+                    ol, dl = screen_rays(packed.camera, frame, W, H, xx, yy, -1.0, dof=static.dof, key=k)
+                    orr, drr = screen_rays(packed.camera, frame, W, H, xx, yy, +1.0, dof=static.dof, key=k)
+                    return P._combine_stereo(trace_rays(packed, ol, dl), trace_rays(packed, orr, drr))
+                o3, d3 = screen_rays(packed.camera, frame, W, H, xx, yy, 0.0, dof=static.dof, key=k)
+                return trace_rays(packed, o3, d3)
+
+            def samples(xx, yy, k):
+                # mirrors pipeline.render_samples' MC scan exactly
+                if not static.dof:
+                    return trace_one(xx, yy, k)
+                n_samples = static.dof_samples
+
+                def body(carry, _):
+                    key, acc = carry
+                    key, kj, kj2, kr = jax.random.split(key, 4)
+                    jx = xx + jax.random.uniform(kj, xx.shape, dtype=xx.dtype)
+                    jy = yy + jax.random.uniform(kj2, yy.shape, dtype=yy.dtype)
+                    return (key, acc + trace_one(jx, jy, kr)), None
+
+                (_, acc), _ = jax.lax.scan(
+                    body, (k, jnp.zeros(xx.shape + (3,), dtype=xx.dtype)), None, length=n_samples
+                )
+                return acc / n_samples
+
+            # mirrors pipeline._render_pixels: base sample + 4 AA taps
+            key, k0 = jax.random.split(key)
+            img = samples(xf, yf, k0)
+            if static.aa_enabled:
+                offsets = jnp.asarray(P.AA_KERNEL, dtype=dt)
+
+                def aa_body(carry, off):
+                    key, acc = carry
+                    key, kk = jax.random.split(key)
+                    s = samples(xf + off[0], yf + off[1], kk)
+                    return (key, acc + s), None
+
+                (_, acc), _ = jax.lax.scan(aa_body, (key, img), offsets)
+                img = acc / 5.0
+            return img.reshape(height, width, 3)
+
+        render.tap = None  # MC modes have no single deterministic tap
+        return render
 
     def render(packed: ScenePacked, key=None):
         if not static.aa_enabled:

@@ -62,6 +62,11 @@ def main():
     sc.environment.cubemap = make_sky_cubemap()
 
     packed, static = pack_scene(sc)
+    if not args.cpu:
+        import dataclasses
+
+        # DoF rides the fused Pallas ray-input kernel on TPU (round 2)
+        static = dataclasses.replace(static, use_pallas=True)
     fn = jax.jit(lambda p, k: render_frame(p, static, k))
     t0 = time.perf_counter()
     img = np.asarray(jax.block_until_ready(fn(packed, jax.random.PRNGKey(0))))

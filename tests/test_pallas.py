@@ -32,11 +32,15 @@ class TestSupports:
         _, static = pack_scene(sc)
         assert supports(static)
 
-    def test_dof_falls_back(self, data_dir):
+    def test_dof_supported_gi_falls_back(self, data_dir):
         sc = _scene(data_dir)
         sc.camera.dof = True
         _, static = pack_scene(sc)
-        assert not supports(static)
+        assert supports(static)  # DoF rides the ray-input kernel (round 2)
+        sc.camera.dof = False
+        sc.settings.GIEnabled = True
+        _, static = pack_scene(sc)
+        assert not supports(static)  # GI needs BRDF sampling -> XLA
 
 
 class TestKernelParity:
@@ -133,3 +137,45 @@ class TestKernelParity:
         out = np.asarray(fn(packed)).reshape(static.height, static.width, 3)
         ref = np.asarray(render_frame(packed, static, jax.random.PRNGKey(0)))
         np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+class TestMonteCarloModes:
+    def test_dof_matches_xla_same_keys(self, data_dir):
+        """DoF through the ray-input kernel uses the SAME jax.random stream
+        as the XLA pipeline — identical rays, so the outputs match to
+        kernel-vs-XLA fp (plus knife edges)."""
+        import dataclasses
+
+        sc = parse_scene_from_file(str(data_dir / "zaphod.sdl"))
+        sc.settings.frameWidth, sc.settings.frameHeight = 32, 22
+        sc.camera.set_frame_size(32, 22)
+        sc.settings.AAEnabled = False
+        sc.camera.numSamples = 4
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert static.dof
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer, supports
+
+        assert supports(static)
+        st = dataclasses.replace(static, aa_enabled=False)
+        key = jax.random.PRNGKey(7)
+        out = np.asarray(build_flagship_renderer(st, 32, 22, interpret=True)(packed, key))
+        ref = np.asarray(render_frame(packed, st, key))
+        d = np.abs(out - ref).max(-1)
+        assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
+
+    def test_stereo_matches_xla(self, data_dir):
+        import dataclasses
+
+        sc = _scene(data_dir, w=32, h=24)
+        sc.camera.stereoSeparation = 2.0
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert static.stereo
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer, supports
+
+        assert supports(static)
+        st = dataclasses.replace(static, aa_enabled=False)
+        key = jax.random.PRNGKey(3)
+        out = np.asarray(build_flagship_renderer(st, 32, 24, interpret=True)(packed, key))
+        ref = np.asarray(render_frame(packed, st, key))
+        d = np.abs(out - ref).max(-1)
+        assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
