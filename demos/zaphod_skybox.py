@@ -73,7 +73,10 @@ def main():
     dt = time.perf_counter() - t0
     save_image(args.output, img)
     sky = img[0].mean(axis=0)
-    print(f"rendered {w}x{h} in {dt:.2f}s -> {args.output}")
+    print(f"rendered {w}x{h} in {dt:.2f}s (incl. compile) -> {args.output}")
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(packed, jax.random.PRNGKey(1)))
+    print(f"steady-state frame: {time.perf_counter() - t0:.2f}s")
     print(f"sky row mean RGB: {sky.round(3)} (non-black => cubemap active)")
     assert img[0].max() > 0.05, "sky should show the cubemap"
     return 0
