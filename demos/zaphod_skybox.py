@@ -41,6 +41,10 @@ def main():
     ap.add_argument("-o", "--output", default="/tmp/zaphod_sky.bmp")
     ap.add_argument("--samples", type=int, default=None, help="override DoF samples")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--pallas", action="store_true",
+                    help="route DoF sampling through the fused Pallas ray-input "
+                         "kernel (steady-state 4.1s vs 4.3s at 1080p, but the "
+                         "first-run Mosaic compile takes ~6 min)")
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
@@ -62,10 +66,9 @@ def main():
     sc.environment.cubemap = make_sky_cubemap()
 
     packed, static = pack_scene(sc)
-    if not args.cpu:
+    if args.pallas and not args.cpu:
         import dataclasses
 
-        # DoF rides the fused Pallas ray-input kernel on TPU (round 2)
         static = dataclasses.replace(static, use_pallas=True)
     fn = jax.jit(lambda p, k: render_frame(p, static, k))
     t0 = time.perf_counter()
