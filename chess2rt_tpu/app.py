@@ -144,7 +144,7 @@ def debug_pixel(scene, x: int, y: int, dtype_str: str = "f32") -> str:
         f"  {'':{wl}}   {'device (' + dtype_str + ')':{wd}}   oracle (f64)",
     ]
     for name, d, o in rows:
-        marker = "" if d == o else "   <- differs" if name in ("Hit node",) and d != o else ""
+        marker = "" if d == o else "   <- differs"
         lines.append(f"  {name:{wl}}   {d:{wd}}   {o}{marker}")
     return "\n".join(lines)
 

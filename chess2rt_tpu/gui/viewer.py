@@ -204,6 +204,12 @@ def interactive_main(scene_path: str, dtype=None, prefer_sdl: bool = True, bucke
     dirty = False
     try:
         tty.setcbreak(fd)
+        # tty.setcbreak leaves IXON flow control on: Ctrl-S (bound to
+        # move-down in the control table) would freeze the terminal as
+        # XOFF instead of reaching _read_key
+        attrs = termios.tcgetattr(fd)
+        attrs[0] &= ~termios.IXON
+        termios.tcsetattr(fd, termios.TCSANOW, attrs)
         while True:
             ev = _read_key()
             if ev is None:

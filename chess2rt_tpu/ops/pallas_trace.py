@@ -74,6 +74,8 @@ def supports(static: SceneStatic) -> bool:
     back to XLA."""
     if static.gi_enabled:
         return False
+    if not static.nodes:
+        return False  # nothing to scan; the XLA path handles empty scenes
     for ns in static.nodes:
         if ns.shader_kind not in (LAMBERT, PHONG, REFLECTION):
             return False
@@ -1165,11 +1167,16 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
 
 def build_primary_kernel(static: SceneStatic, width: int, height: int, interpret: bool = False):
     """Back-compat shim: single-tap flat [N, 3] radiance through the
-    flagship round-0 path.  fn(packed, offset=(0, 0)) -> [N, 3]."""
+    flagship round-0 path.  fn(packed, offset=(0, 0)) -> [N, 3].
+
+    ``offset`` must be a CONCRETE pair (it is concretized via numpy) —
+    traced offsets go through build_flagship_renderer's tap, whose AA
+    offset is a runtime SMEM parameter."""
     import dataclasses
 
     st = dataclasses.replace(static, aa_enabled=False)
     renderer = build_flagship_renderer(st, width, height, interpret)
+    assert renderer.tap is not None, "MC sampling modes have no deterministic single tap"
 
     def fn(packed, offset=(0.0, 0.0)):
         off = tuple(np.asarray(offset).reshape(2).tolist())

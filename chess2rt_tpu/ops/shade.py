@@ -54,14 +54,6 @@ def shadow_eps(dtype) -> float:
     return 1e-6 if dtype == jnp.float64 else 1e-3
 
 
-def node_kind_tables(static: SceneStatic):
-    """Static per-node kind vectors as device constants."""
-    shader_kind = np.array([n.shader_kind for n in static.nodes] or [0], dtype=np.int32)
-    tex_kind = np.array([n.tex_kind for n in static.nodes] or [0], dtype=np.int32)
-    bitmap_idx = np.array([max(n.bitmap_idx, 0) for n in static.nodes] or [0], dtype=np.int32)
-    return jnp.asarray(shader_kind), jnp.asarray(tex_kind), jnp.asarray(bitmap_idx)
-
-
 def static_select(winc, values, dtype=jnp.int32):
     """Per-ray lookup of a STATICALLY-known per-node value via a
     compare-select chain instead of a table gather.
@@ -169,9 +161,9 @@ def bitmap_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=No
     # static_select); sizes come from the static bitmap_sizes, which the
     # packed bitmap_hw mirrors
     b = static_select(winc, [max(n.bitmap_idx, 0) for n in static.nodes])
-    sizes = static.bitmap_sizes or ((1, 1),)
-    h = static_select(b, [s[0] for s in sizes], packed.bitmap_atlas.dtype)
-    w = static_select(b, [s[1] for s in sizes], packed.bitmap_atlas.dtype)
+    # only reachable with TEX_BITMAP present, so bitmap_sizes is non-empty
+    h = static_select(b, [s[0] for s in static.bitmap_sizes], packed.bitmap_atlas.dtype)
+    w = static_select(b, [s[1] for s in static.bitmap_sizes], packed.bitmap_atlas.dtype)
     scaling = node_gather(onehot, packed.bitmap_scaling)
     uu = u * scaling
     vv = v * scaling

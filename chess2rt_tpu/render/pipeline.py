@@ -60,7 +60,7 @@ def dot(a, b):
 # --------------------------------------------------------------------------
 
 
-def _whitted_round(packed, static, shader_kind_tab, color, atten, alive, orig, dir, recursive, stats=None, r=0):
+def _whitted_round(packed, static, color, atten, alive, orig, dir, recursive, stats=None, r=0):
     """One wavefront round: closest-hit, direct shade, spawn continuation.
     Returns the updated carry.  Shared by the unrolled, scan and while_loop
     drivers below."""
@@ -134,7 +134,6 @@ def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir, stats=Non
     ``stats`` (optional dict) accumulates traced-ray counts: "camera"
     primary rays, "shadow" visibility rays (one per lit shading point per
     light, shader.d:88), "bounce" continuation rays."""
-    shader_kind_tab, _, _ = S.node_kind_tables(static)
     recursive = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
     rounds = (static.max_trace_depth + 1) if recursive else 1
 
@@ -150,7 +149,7 @@ def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir, stats=Non
 
     if not recursive or stats is not None:
         for r in range(rounds):
-            carry = _whitted_round(packed, static, shader_kind_tab, *carry, recursive, stats, r)
+            carry = _whitted_round(packed, static, *carry, recursive, stats, r)
             if not recursive:
                 break
         return carry[0]
@@ -158,15 +157,15 @@ def trace_whitted(packed: ScenePacked, static: SceneStatic, orig, dir, stats=Non
     n = int(np.prod(orig.shape[:-1]))
     cap = static.bounce_capacity
     if not cap or cap >= n or orig.ndim != 2:
-        return _run_rounds(packed, static, shader_kind_tab, carry, rounds)[0]
+        return _run_rounds(packed, static, carry, rounds)[0]
 
     # Round 0 at full width, then hand the live set to the shared
     # compaction driver (also used by the fused Pallas round-0 path).
-    carry = _whitted_round(packed, static, shader_kind_tab, *carry, True)
+    carry = _whitted_round(packed, static, *carry, True)
     return continue_bounces(packed, static, *carry, n_rounds=rounds - 1)
 
 
-def _run_rounds(packed, static, shader_kind_tab, carry, n_rounds):
+def _run_rounds(packed, static, carry, n_rounds):
     """Remaining wavefront rounds: early-exit while_loop when forward-only,
     reverse-differentiable lax.scan otherwise."""
     if static.fast_forward:
@@ -177,7 +176,7 @@ def _run_rounds(packed, static, shader_kind_tab, carry, n_rounds):
 
         def body(state):
             r, c = state
-            return r + 1, _whitted_round(packed, static, shader_kind_tab, *c, True)
+            return r + 1, _whitted_round(packed, static, *c, True)
 
         _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
         return out
@@ -190,7 +189,7 @@ def _run_rounds(packed, static, shader_kind_tab, carry, n_rounds):
         # lax.while_loop's early exit is not.
         return jax.lax.cond(
             c[2].any(),
-            lambda c: _whitted_round(packed, static, shader_kind_tab, *c, True),
+            lambda c: _whitted_round(packed, static, *c, True),
             lambda c: c,
             c,
         )
@@ -225,14 +224,13 @@ def continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds):
 
     Shared by trace_whitted (XLA round 0) and the fused Pallas primary
     kernel (which emits the same (color, atten, alive, orig, dir) carry)."""
-    shader_kind_tab, _, _ = S.node_kind_tables(static)
     if n_rounds <= 0:
         return color
     n = int(np.prod(orig.shape[:-1]))
     cap = static.bounce_capacity
     if not cap or cap >= n or orig.ndim != 2:
         out = _run_rounds(
-            packed, static, shader_kind_tab, (jnp.zeros_like(color), atten, alive, orig, dir), n_rounds
+            packed, static, (jnp.zeros_like(color), atten, alive, orig, dir), n_rounds
         )
         return color + out[0]
 
@@ -240,7 +238,7 @@ def continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds):
 
     def full_path(color, atten, alive, orig, dir):
         out = _run_rounds(
-            packed, static, shader_kind_tab, (jnp.zeros_like(color), atten, alive, orig, dir), n_rounds
+            packed, static, (jnp.zeros_like(color), atten, alive, orig, dir), n_rounds
         )
         return color + out[0]
 
@@ -260,7 +258,7 @@ def continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds):
             orig[sel],
             dir[sel],
         )
-        out = _run_rounds(packed, static, shader_kind_tab, sub, n_rounds)
+        out = _run_rounds(packed, static, sub, n_rounds)
         return color.at[sel].add(jnp.where(lane_live[..., None], out[0], 0.0))
 
     return jax.lax.cond(count <= cap, compact_path, full_path, color, atten, alive, orig, dir)

@@ -48,7 +48,6 @@ def wavefront_occupancy(packed: ScenePacked, static: SceneStatic):
     pixel grid.  [1.0, f1, f2, ...]; length = maxTraceDepth+1 for recursive
     scenes, 1 otherwise."""
     orig, dir = _primary_rays(packed, static)
-    shader_kind_tab, _, _ = S.node_kind_tables(static)
     recursive = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
     rounds = (static.max_trace_depth + 1) if recursive else 1
 
@@ -64,7 +63,7 @@ def wavefront_occupancy(packed: ScenePacked, static: SceneStatic):
         fracs = []
         for _ in range(rounds):
             fracs.append(carry[2].mean(dtype=jnp.float32))
-            carry = _whitted_round(packed, static, shader_kind_tab, *carry, recursive)
+            carry = _whitted_round(packed, static, *carry, recursive)
         return jnp.stack(fracs)
 
     return [float(f) for f in np.asarray(run(orig, dir))]

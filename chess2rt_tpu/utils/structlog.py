@@ -46,12 +46,19 @@ class StructLogger:
 
     @contextlib.contextmanager
     def frame(self, **fields):
-        """Times a frame render; fields added inside the block are kept."""
+        """Times a frame render; fields added inside the block are kept.
+        The record is emitted even when the block raises (failed frames
+        are exactly what the log is for); ``error`` carries the reason."""
         rec: Dict[str, Any] = dict(fields)
         t0 = time.perf_counter()
-        yield rec
-        rec["wall_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
-        self.emit("frame", **rec)
+        try:
+            yield rec
+        except BaseException as e:
+            rec["error"] = f"{type(e).__name__}: {e}"
+            raise
+        finally:
+            rec["wall_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+            self.emit("frame", **rec)
 
     def summary(self, event: str = "frame") -> Dict[str, Any]:
         """Aggregate stats over kept records of one event kind."""
