@@ -24,8 +24,11 @@ Coverage (supports()):
     12-float quad gather (ops/shade.bitmap_color).  Spherical UVs use
     in-kernel polynomial atan2/asin (Mosaic lacks both primitives).
   * environment cubemap (miss rays sampled XLA-side)
-  unsupported (falls back to XLA): DoF / GI / stereo sampling modes,
-  Refraction shaders.
+  * DoF / stereo sampling (XLA generates the rays, the ray-input kernel
+    traces them) and GI path tracing (build_gi_renderer: the want_hit
+    kernel supplies hit records + NEE light sums, XLA does the BRDF
+    sampling)
+  unsupported (falls back to XLA): Refraction shaders.
 
 Design notes
 * Rays are processed in (8, 128) f32 tiles — the native VPU tile — as
@@ -74,6 +77,12 @@ def supports(static: SceneStatic) -> bool:
     back to XLA."""
     if static.gi_enabled:
         return False
+    return _supports_scene(static)
+
+
+def _supports_scene(static: SceneStatic) -> bool:
+    """Geometry/shader/texture coverage of the kernel, independent of the
+    sampling mode (build_round0_kernel's own precondition)."""
     if not static.nodes:
         return False  # nothing to scan; the XLA path handles empty scenes
     for ns in static.nodes:
@@ -592,6 +601,7 @@ def build_round0_kernel(
     height: int,
     interpret: bool = False,
     n_rays: int = None,
+    want_hit: bool = False,
 ):
     """Returns fn(packed, aa_offset) -> dict of flat [N] arrays:
     color [N], win [N] (int32, -1 = miss), and — when the scene needs
@@ -606,8 +616,13 @@ def build_round0_kernel(
     With ``n_rays`` set, ray-gen is skipped and the kernel traces caller
     rays instead: fn(packed, orig3, dir3) with six flat [n_rays] arrays —
     the BOUNCE-round kernel (continuation rays re-enter the same fused
-    machinery at compacted width)."""
-    assert supports(static)
+    machinery at compacted width).
+
+    ``want_hit`` adds raw hit-record outputs — t, the (pre-faceforward)
+    normal, the in-kernel diffuse texture color, and the light sum — for
+    callers that do their own shading math (the GI path tracer samples
+    BRDF continuations in XLA from these)."""
+    assert _supports_scene(static)
     ray_input = n_rays is not None
     n = n_rays if ray_input else width * height
     n_pad = -(-n // TILE_N) * TILE_N
@@ -618,6 +633,7 @@ def build_round0_kernel(
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
     has_refl = REFLECTION in static.shader_kinds_present
     has_phong = PHONG in static.shader_kinds_present
+    emit_L = has_bitmap or want_hit
 
     def kernel(prm_ref, *refs):
         if ray_input:
@@ -628,12 +644,16 @@ def build_round0_kernel(
         it = iter(outs)
         out_r, out_g, out_b = next(it), next(it), next(it)
         out_win = next(it)
-        if has_bitmap:
+        if emit_L:
             out_lr, out_lg, out_lb = next(it), next(it), next(it)
             out_u, out_v = next(it), next(it)
         if has_refl:
             out_rox, out_roy, out_roz = next(it), next(it), next(it)
             out_rdx, out_rdy, out_rdz = next(it), next(it), next(it)
+        if want_hit:
+            out_t = next(it)
+            out_nx, out_ny, out_nz = next(it), next(it), next(it)
+            out_dr, out_dg, out_db = next(it), next(it), next(it)
 
         def p(k):
             return prm_ref[k]
@@ -877,12 +897,20 @@ def build_round0_kernel(
         out_g[:] = jnp.where(shaded, outg, 0.0)
         out_b[:] = jnp.where(shaded, outb, 0.0)
         out_win[:] = win
-        if has_bitmap:
+        if emit_L:
             out_lr[:] = jnp.where(shaded, lr, 0.0)
             out_lg[:] = jnp.where(shaded, lg, 0.0)
             out_lb[:] = jnp.where(shaded, lb, 0.0)
             out_u[:] = hit["u"]
             out_v[:] = hit["v"]
+        if want_hit:
+            out_t[:] = hit["t"]
+            out_nx[:] = hit["nx"]
+            out_ny[:] = hit["ny"]
+            out_nz[:] = hit["nz"]
+            out_dr[:] = dr
+            out_dg[:] = dg
+            out_db[:] = db
         if has_refl:
             # mirror continuation (render/pipeline._whitted_round)
             ddn = dx * nx + dy * ny + dz * nz
@@ -899,12 +927,15 @@ def build_round0_kernel(
 
     names = ["r", "g", "b", "win"]
     dtypes = [jnp.float32] * 3 + [jnp.int32]
-    if has_bitmap:
+    if emit_L:
         names += ["lr", "lg", "lb", "u", "v"]
         dtypes += [jnp.float32] * 5
     if has_refl:
         names += ["rox", "roy", "roz", "rdx", "rdy", "rdz"]
         dtypes += [jnp.float32] * 6
+    if want_hit:
+        names += ["t", "nx", "ny", "nz", "dr", "dg", "db"]
+        dtypes += [jnp.float32] * 7
 
     out_specs = [pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM) for _ in names]
     out_shape = [
@@ -1162,6 +1193,153 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         return (img / 5.0).reshape(height, width, 3)
 
     render.tap = render_tap  # single-sample entry for tests / shims
+    return render
+
+
+def supports_gi(static: SceneStatic) -> bool:
+    """GI through the want_hit kernel: all-Lambert scenes (trace_path
+    raises otherwise — Phong GI asserts in the reference, shader.d:252-261)
+    with kernel-supported geometry, no DoF (DoF dispatches first)."""
+    if not static.gi_enabled or static.dof:
+        return False
+    if not static.nodes:
+        return False
+    return all(ns.shader_kind == LAMBERT for ns in static.nodes)
+
+
+def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: bool = False):
+    """GI path tracer with the closest-hit + NEE-light-sum work done by the
+    fused want_hit kernel; BRDF (hemisphere) sampling, throughput and the
+    environment miss term stay in XLA — mirroring render/pipeline.trace_path
+    op for op (same jax.random stream, so outputs match the XLA path to
+    kernel-vs-XLA fp).
+
+    Returns fn(packed, key) -> [H, W, 3]."""
+    assert supports_gi(static)
+    from ..render import pipeline as P
+    from . import shade as S
+
+    n = width * height
+    # every round traces caller rays (round 0's are the jittered MC camera
+    # rays generated in XLA), so only the ray-input kernel is needed
+    kernR = build_round0_kernel(static, width, height, interpret, n_rays=n, want_hit=True)
+    has_bitmap = TEX_BITMAP in static.tex_kinds_present
+
+    def hit_of(packed, o):
+        """Kernel outputs -> (win, raw normal, diffuse albedo, light sum)."""
+        win = o["win"]
+        winc = jnp.maximum(win, 0)
+        normal = jnp.stack([o["nx"], o["ny"], o["nz"]], axis=-1)
+        diffuse = jnp.stack([o["dr"], o["dg"], o["db"]], axis=-1)
+        if has_bitmap:
+            onehot = S.node_onehot(static, winc)
+            tex = S.bitmap_color(packed, static, winc, o["u"], o["v"], onehot)
+            is_bmp = S.tex_kind_of(static, winc) == TEX_BITMAP
+            diffuse = jnp.where(is_bmp[..., None], tex, diffuse)
+        L = jnp.stack([o["lr"], o["lg"], o["lb"]], axis=-1)
+        return win, normal, diffuse, L
+
+    def trace_path_pallas(packed, orig, dir, key):
+        """Mirrors pipeline.trace_path's bounce loop, kernel-backed."""
+        eps = S.shadow_eps(orig.dtype)
+        acc = jnp.zeros_like(orig)
+        mult = jnp.ones_like(orig)
+        alive = jnp.ones(orig.shape[:-1], dtype=bool)
+
+        # kernel L includes ambient (shade_direct's base); the NEE term
+        # (trace_path) wants only the per-light visibility-weighted sum
+        def bounce(carry):
+            key, acc, mult, alive, orig, dir = carry
+            o = kernR(packed, orig, dir)
+            win, normal, diffuse, L = hit_of(packed, o)
+            hitmask = alive & (win >= 0)
+            N = S.faceforward(dir, normal)
+            mult_eff = jnp.ones_like(mult) if static.gi_multiplier_quirk else mult
+
+            if static.has_env:
+                from .env import sample_cubemap
+
+                env = sample_cubemap(packed.env_cubemap, dir)
+                acc = acc + jnp.where((alive & (win < 0))[..., None], mult_eff * env, 0.0)
+
+            if static.gi_point_light_direct:
+                # kernel L = ambient + sum_l vis*cos/d^2*lc, with the SAME
+                # faceforward N and shadow origin as shade_direct; the NEE
+                # term is diffuse/pi * (L - ambient)
+                nee = diffuse * (1.0 / jnp.pi) * (L - packed.ambient)
+                acc = acc + jnp.where(hitmask[..., None], mult_eff * nee, 0.0)
+            # else: reference direct term == 0 exactly (solidAngle = 0)
+
+            # Lambert.spawnRay (shader.d:118-135) — identical RNG stream to
+            # pipeline.trace_path
+            key, k1, k2 = jax.random.split(key, 3)
+            u = jax.random.uniform(k1, win.shape, dtype=orig.dtype)
+            v = jax.random.uniform(k2, win.shape, dtype=orig.dtype)
+            theta = 2 * jnp.pi * u
+            phi = jnp.arccos(jnp.clip(2 * v - 1, -1.0, 1.0)) - jnp.pi / 2
+            w = jnp.stack(
+                [jnp.cos(theta) * jnp.cos(phi), jnp.sin(phi), jnp.sin(theta) * jnp.cos(phi)], axis=-1
+            )
+            w = jnp.where((w * N).sum(-1)[..., None] < 0, -w, w)
+            color_eval = diffuse * (1 / jnp.pi) * jnp.maximum(0.0, (w * N).sum(-1))[..., None]
+            pdf = 1 / (2 * jnp.pi)
+            mult = mult * color_eval / pdf
+            ts = jnp.where(hitmask, o["t"], 0.0)
+            p = orig + dir * ts[..., None]
+            orig = jnp.where(hitmask[..., None], p + N * eps, orig)
+            dir = jnp.where(hitmask[..., None], w, dir)
+            return (key, acc, mult, hitmask, orig, dir)
+
+        carry = (key, acc, mult, alive, orig, dir)
+        carry = bounce(carry)
+        for _ in range(static.max_trace_depth):
+            # skip all-dead rounds at runtime (forward-only path)
+            carry = jax.lax.cond(carry[3].any(), bounce, lambda c: c, carry)
+        return carry[1]
+
+    def render(packed: ScenePacked, key=None):
+        """Mirrors pipeline.render_samples' MC scan + _render_pixels AA."""
+        from .camera import screen_rays
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        frame = begin_frame(packed.camera, width / height)
+        dt = packed.node_matrix.dtype
+        lin = jnp.arange(n)
+        xf = (lin % width).astype(dt)
+        yf = (lin // width).astype(dt)
+        W, H = float(width), float(height)
+
+        def samples(xx, yy, k):
+            def body(carry, _):
+                key, acc = carry
+                key, kj, kj2, kr = jax.random.split(key, 4)
+                jx = xx + jax.random.uniform(kj, xx.shape, dtype=xx.dtype)
+                jy = yy + jax.random.uniform(kj2, yy.shape, dtype=yy.dtype)
+                o3, d3 = screen_rays(packed.camera, frame, W, H, jx, jy, 0.0)
+                return (key, acc + trace_path_pallas(packed, o3, d3, kr)), None
+
+            (_, acc), _ = jax.lax.scan(
+                body, (k, jnp.zeros(xx.shape + (3,), dtype=xx.dtype)), None,
+                length=static.paths_per_pixel,
+            )
+            return acc / static.paths_per_pixel
+
+        key, k0 = jax.random.split(key)
+        img = samples(xf, yf, k0)
+        if static.aa_enabled:
+            offsets = jnp.asarray(P.AA_KERNEL, dtype=dt)
+
+            def aa_body(carry, off):
+                key, acc = carry
+                key, kk = jax.random.split(key)
+                s = samples(xf + off[0], yf + off[1], kk)
+                return (key, acc + s), None
+
+            (_, acc), _ = jax.lax.scan(aa_body, (key, img), offsets)
+            img = acc / 5.0
+        return img.reshape(height, width, 3)
+
     return render
 
 

@@ -454,6 +454,10 @@ def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
             # fused Pallas round 0 (+ XLA bitmap gather / env / compacted
             # bounce rounds + AA loop) — forward-only fast path
             return PT.build_flagship_renderer(static, W, H)(packed, key)
+        if PT.supports_gi(static):
+            # GI: closest-hit + NEE light sums in-kernel, BRDF sampling in
+            # XLA with the same jax.random stream as trace_path
+            return PT.build_gi_renderer(static, W, H)(packed, key)
 
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=dt), jnp.arange(W, dtype=dt), indexing="ij")
     xf = xs.reshape(-1)

@@ -179,3 +179,45 @@ class TestMonteCarloModes:
         ref = np.asarray(render_frame(packed, st, key))
         d = np.abs(out - ref).max(-1)
         assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
+
+    def test_gi_matches_xla_same_keys(self, data_dir):
+        """GI through the want_hit kernel: same jax.random stream as
+        trace_path, so contributing bounces match the XLA path tightly
+        (NEE extension on so the image is non-black)."""
+        import dataclasses
+
+        sc = _scene(data_dir, w=24, h=16)
+        sc.settings.GIEnabled = True
+        sc.settings.pathsPerPixel = 6
+        sc.nodes.append(
+            T.Node(name="wall", geometry=T.Sphere(name="w", center=(60, 80, 330), R=50.0),
+                   shader=T.Lambert(name="white", color=(0.8, 0.8, 0.8)))
+        )
+        sc.geometries.append(sc.nodes[-1].geometry)
+        sc.shaders.append(sc.nodes[-1].shader)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        from chess2rt_tpu.ops.pallas_trace import build_gi_renderer, supports_gi
+
+        st = dataclasses.replace(static, gi_point_light_direct=True)
+        assert supports_gi(st)
+        key = jax.random.PRNGKey(5)
+        out = np.asarray(build_gi_renderer(st, 24, 16, interpret=True)(packed, key))
+        ref = np.asarray(render_frame(packed, st, key))
+        assert out.max() > 0.01
+        d = np.abs(out - ref).max(-1)
+        assert (d > 5e-3).mean() < 0.02, ((d > 5e-3).mean(), d.max())
+
+    def test_gi_quirk_path_black(self, data_dir):
+        """Reference-semantics GI (solidAngle == 0): exactly black through
+        the kernel path too."""
+        import dataclasses
+
+        sc = _scene(data_dir, w=16, h=12)
+        sc.settings.GIEnabled = True
+        sc.settings.pathsPerPixel = 2
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        from chess2rt_tpu.ops.pallas_trace import build_gi_renderer, supports_gi
+
+        assert supports_gi(static)
+        out = np.asarray(build_gi_renderer(static, 16, 12, interpret=True)(packed, jax.random.PRNGKey(0)))
+        np.testing.assert_array_equal(out, 0.0)
