@@ -15,9 +15,10 @@ Coverage (supports()):
     reference's re-cast loop, rt/geometry.d:250-403)
   * transforms: identity / offset / full 3x3 matrix with the node.d:51-67
     dist-rescaling algebra (inverses precomputed host-side per call)
-  * shading: Lambert / Phong / Reflection (continuations are emitted as
-    (orig, dir) and traced by the XLA compacted bounce rounds — the live
-    set is a few % of rays, exactly what compaction is for)
+  * shading: Lambert / Phong / Reflection / Refraction (continuations —
+    mirror or single-sided refraction with TIR fallback — are emitted as
+    (orig, dir) and traced by the compacted bounce rounds; the live set
+    is a few % of rays, exactly what compaction is for)
   * textures: flat / checker / procedure2 shaded in-kernel; bitmap
     textures are DEFERRED — Mosaic has no per-lane dynamic indexing, so
     the kernel emits (win, u, v) + the light sum and XLA performs the one
@@ -27,8 +28,7 @@ Coverage (supports()):
   * DoF / stereo sampling (XLA generates the rays, the ray-input kernel
     traces them) and GI path tracing (build_gi_renderer: the want_hit
     kernel supplies hit records + NEE light sums, XLA does the BRDF
-    sampling)
-  unsupported (falls back to XLA): Refraction shaders.
+    sampling).  Every reference sampling mode and shader kind is covered.
 
 Design notes
 * Rays are processed in (8, 128) f32 tiles — the native VPU tile — as
@@ -73,8 +73,8 @@ def supports(static: SceneStatic) -> bool:
 
     DoF and stereo run through the ray-input kernel (XLA generates the
     jittered/offset rays with the same jax.random stream as the pure-XLA
-    path, the kernel traces them); GI still needs BRDF sampling and falls
-    back to XLA."""
+    path, the kernel traces them); GI goes through build_gi_renderer
+    (supports_gi) instead of this Whitted path."""
     if static.gi_enabled:
         return False
     return _supports_scene(static)
@@ -86,7 +86,7 @@ def _supports_scene(static: SceneStatic) -> bool:
     if not static.nodes:
         return False  # nothing to scan; the XLA path handles empty scenes
     for ns in static.nodes:
-        if ns.shader_kind not in (LAMBERT, PHONG, REFLECTION):
+        if ns.shader_kind not in (LAMBERT, PHONG, REFLECTION, REFRACTION):
             return False
         if ns.tex_kind not in (TEX_NONE, TEX_CHECKER, TEX_PROC2, TEX_BITMAP):
             return False
@@ -256,9 +256,9 @@ def _make_packer(static: SceneStatic, width: int, height: int):
                 )
         slot(
             f"n{i}_mat",
-            5,
+            6,
             lambda p, f, a, i=i: jnp.concatenate(
-                [p.mat_color[i], p.mat_exponent[i][None], p.mat_strength[i][None]]
+                [p.mat_color[i], p.mat_exponent[i][None], p.mat_strength[i][None], p.mat_ior[i][None]]
             ),
         )
         if ns.tex_kind == TEX_CHECKER:
@@ -632,6 +632,8 @@ def build_round0_kernel(
 
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
     has_refl = REFLECTION in static.shader_kinds_present
+    has_refr = REFRACTION in static.shader_kinds_present
+    has_cont = has_refl or has_refr
     has_phong = PHONG in static.shader_kinds_present
     emit_L = has_bitmap or want_hit
 
@@ -647,7 +649,7 @@ def build_round0_kernel(
         if emit_L:
             out_lr, out_lg, out_lb = next(it), next(it), next(it)
             out_u, out_v = next(it), next(it)
-        if has_refl:
+        if has_cont:
             out_rox, out_roy, out_roz = next(it), next(it), next(it)
             out_rdx, out_rdy, out_rdz = next(it), next(it), next(it)
         if want_hit:
@@ -911,26 +913,64 @@ def build_round0_kernel(
             out_dr[:] = dr
             out_dg[:] = dg
             out_db[:] = db
-        if has_refl:
+        if has_cont:
             # mirror continuation (render/pipeline._whitted_round)
             ddn = dx * nx + dy * ny + dz * nz
             rdx = dx - 2.0 * ddn * nx
             rdy = dy - 2.0 * ddn * ny
             rdz = dz - 2.0 * ddn * nz
             rinv = _rsqrt(rdx * rdx + rdy * rdy + rdz * rdz)
-            out_rdx[:] = rdx * rinv
-            out_rdy[:] = rdy * rinv
-            out_rdz[:] = rdz * rinv
-            out_rox[:] = sx
-            out_roy[:] = sy
-            out_roz[:] = sz
+            cdx, cdy, cdz = rdx * rinv, rdy * rinv, rdz * rinv
+            cox, coy, coz = sx, sy, sz
+            if has_refr:
+                # single-sided refraction with TIR fallback, on the RAW
+                # (pre-faceforward) normal like _whitted_round
+                rnx, rny, rnz = hit["nx"], hit["ny"], hit["nz"]
+                ior = jnp.full(TILE, 1.33, jnp.float32)
+                is_refr = jnp.zeros(TILE, jnp.bool_)
+                for i, ns in enumerate(static.nodes):
+                    if ns.shader_kind == REFRACTION:
+                        m = win == i
+                        ior = jnp.where(m, p(off[f"n{i}_mat"] + 5), ior)
+                        is_refr = is_refr | m
+                cos_in = -(dx * rnx + dy * rny + dz * rnz)
+                entering = cos_in > 0
+                eta = jnp.where(entering, 1.0 / ior, ior)
+                fsgn = jnp.where(entering, 1.0, -1.0)
+                nfx, nfy, nfz = rnx * fsgn, rny * fsgn, rnz * fsgn
+                ci = jnp.abs(cos_in)
+                kk = 1.0 - eta * eta * (1.0 - ci * ci)
+                tir = kk < 0
+                coef = eta * ci - jnp.sqrt(jnp.maximum(kk, 0.0))
+                fx_ = eta * dx + coef * nfx
+                fy_ = eta * dy + coef * nfy
+                fz_ = eta * dz + coef * nfz
+                finv = _rsqrt(fx_ * fx_ + fy_ * fy_ + fz_ * fz_)
+                rfdx = jnp.where(tir, cdx, fx_ * finv)
+                rfdy = jnp.where(tir, cdy, fy_ * finv)
+                rfdz = jnp.where(tir, cdz, fz_ * finv)
+                rfox = jnp.where(tir, hpx + nfx * EPS_SHADOW, hpx - nfx * EPS_SHADOW)
+                rfoy = jnp.where(tir, hpy + nfy * EPS_SHADOW, hpy - nfy * EPS_SHADOW)
+                rfoz = jnp.where(tir, hpz + nfz * EPS_SHADOW, hpz - nfz * EPS_SHADOW)
+                cdx = jnp.where(is_refr, rfdx, cdx)
+                cdy = jnp.where(is_refr, rfdy, cdy)
+                cdz = jnp.where(is_refr, rfdz, cdz)
+                cox = jnp.where(is_refr, rfox, cox)
+                coy = jnp.where(is_refr, rfoy, coy)
+                coz = jnp.where(is_refr, rfoz, coz)
+            out_rdx[:] = cdx
+            out_rdy[:] = cdy
+            out_rdz[:] = cdz
+            out_rox[:] = cox
+            out_roy[:] = coy
+            out_roz[:] = coz
 
     names = ["r", "g", "b", "win"]
     dtypes = [jnp.float32] * 3 + [jnp.int32]
     if emit_L:
         names += ["lr", "lg", "lb", "u", "v"]
         dtypes += [jnp.float32] * 5
-    if has_refl:
+    if has_cont:
         names += ["rox", "roy", "roz", "rdx", "rdy", "rdz"]
         dtypes += [jnp.float32] * 6
     if want_hit:
@@ -1002,7 +1042,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
 
     kern = build_round0_kernel(static, width, height, interpret)
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
-    has_refl = REFLECTION in static.shader_kinds_present
+    has_refl = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
     rounds = (static.max_trace_depth + 1) if has_refl else 1
     n = width * height
 
@@ -1033,7 +1073,8 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             color = color + jnp.where((win < 0)[..., None], env, 0.0)
         if not has_refl:
             return color, None, None, None, None
-        cont = (win >= 0) & (S.shader_kind_of(static, winc) == REFLECTION)
+        skind = S.shader_kind_of(static, winc)
+        cont = (win >= 0) & ((skind == REFLECTION) | (skind == REFRACTION))
         atten = jnp.where(cont[..., None], S.node_gather(onehot, packed.mat_color), 1.0)
         ro = jnp.stack([o["rox"], o["roy"], o["roz"]], axis=-1)
         rd = jnp.stack([o["rdx"], o["rdy"], o["rdz"]], axis=-1)

@@ -221,3 +221,28 @@ class TestMonteCarloModes:
         assert supports_gi(static)
         out = np.asarray(build_gi_renderer(static, 16, 12, interpret=True)(packed, jax.random.PRNGKey(0)))
         np.testing.assert_array_equal(out, 0.0)
+
+
+class TestRefraction:
+    def test_refraction_matches_xla(self, data_dir):
+        """Glass sphere (framework-extension Refraction shader): in-kernel
+        single-sided refraction + TIR fallback vs the XLA wavefront."""
+        import dataclasses
+
+        sc = _scene(data_dir, w=48, h=36)
+        g = T.Refraction(name="glass", color=(0.95, 0.95, 0.95), ior=1.5)
+        sc.shaders.append(g)
+        sc.nodes.append(
+            T.Node(name="ball", geometry=T.Sphere(name="b", center=(0, 50, 150), R=35.0), shader=g)
+        )
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert supports(static)
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer
+
+        st = dataclasses.replace(static, aa_enabled=False, bounce_capacity=1024)
+        out = np.asarray(build_flagship_renderer(st, 48, 36, interpret=True)(packed))
+        ref = np.asarray(render_frame(packed, st, jax.random.PRNGKey(0)))
+        assert np.isfinite(out).all()
+        d = np.abs(out - ref).max(-1)
+        # refraction bends knife edges hard; allow a slightly wider tail
+        assert (d > 2e-3).mean() < 0.01, ((d > 2e-3).mean(), d.max())
