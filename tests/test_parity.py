@@ -124,6 +124,28 @@ class TestExtensions:
         # the mirror ball must actually reflect the checker floor (non-black)
         assert img[16:, 16:32].max() > 0.05
 
+    def test_refraction_depth_recursion(self, data_dir, x64):
+        """Glass sphere (framework-extension Refraction shader,
+        single-sided + TIR fallback): device wavefront vs the oracle's
+        recursive implementation (oracle/renderer.py Refraction branch),
+        u8-exact in f64 away from knife edges."""
+        from chess2rt_tpu.models import types as T
+
+        sc = _load(data_dir, "lecture4.sdl", aa=False)
+        glass = T.Refraction(name="glass", color=(0.95, 0.95, 0.95), ior=1.5)
+        ball = T.Node(name="ball", geometry=T.Sphere(name="b", center=(0, 50, 150), R=35.0), shader=glass)
+        sc.shaders.append(glass)
+        sc.nodes.append(ball)
+        gold = OracleRenderer(sc).render()
+        img = np.asarray(render_scene_jax(sc, dtype=jnp.float64))
+        d = np.abs(img - gold).max(-1)
+        # grazing TIR boundaries are knife edges; the bulk must be exact
+        assert (d < 1e-6).mean() > 0.995, (d.max(), (d >= 1e-6).mean())
+        u8d = np.abs(_u8(img).astype(int) - _u8(gold).astype(int)).max(-1)
+        assert (u8d == 0).mean() > 0.995
+        # the glass ball must transmit the checker floor (non-black inside)
+        assert img[14:26, 24:40].max() > 0.05
+
     def test_gi_runs_and_reference_quirk_yields_black(self, data_dir):
         """With the reference semantics (PointLight.solidAngle == 0 and no
         intersectable lights), a GI render is exactly black (light.d:72-75,
