@@ -42,17 +42,34 @@ class TestARGB:
 
 
 class TestAsyncRender:
-    def test_async_render_completes(self, data_dir):
+    def test_async_render_progressive_passes(self, data_dir):
+        """Prepass flat-fill, then the full-res pass, each published to the
+        display callback (renderRT's pass structure, renderer.d:83-189)."""
         sc = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
-        sc.settings.frameWidth, sc.settings.frameHeight = 24, 16
-        sc.camera.set_frame_size(24, 16)
+        sc.settings.frameWidth, sc.settings.frameHeight = 32, 16
+        sc.camera.set_frame_size(32, 16)
         sc.settings.AAEnabled = False
         got = []
-        h = render_scene_async(sc, callback=got.append)
-        out = h.result(timeout=120)
+        h = render_scene_async(sc, callback=got.append, prepass_scale=8)
+        out = h.result(timeout=240)
         assert not h.is_rendering
-        assert out.shape == (16, 24, 3)
-        assert len(got) == 1
+        assert out.shape == (16, 32, 3)
+        assert len(got) == 2 and h.passes_completed == 2  # prepass + main
+        assert got[0].shape == out.shape  # prepass upscaled to full frame
+        # the prepass flat-fill is blockier than the final pass
+        assert not np.array_equal(got[0], got[1])
+
+    def test_prepass_only(self, data_dir):
+        """prepassOnly stops after the coarse pass (renderer.d knob)."""
+        sc = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
+        sc.settings.frameWidth, sc.settings.frameHeight = 32, 16
+        sc.camera.set_frame_size(32, 16)
+        sc.settings.AAEnabled = False
+        sc.settings.prepassOnly = True
+        h = render_scene_async(sc, prepass_scale=8)
+        out = h.result(timeout=240)
+        assert h.passes_completed == 1
+        assert out.shape == (16, 32, 3)
 
     def test_stop_before_dispatch(self, data_dir):
         sc = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
