@@ -70,6 +70,12 @@ def fit(
     key = key if key is not None else jax.random.PRNGKey(0)
     static, target = problem.static, problem.target
 
+    if "bitmap_atlas" not in problem.train_fields and static.train_textures:
+        # texel cotangents are the most expensive part of the backward
+        # (sorted scatter-add); when the atlas isn't being optimized the
+        # grads would be masked to zero anyway — stop them at the source
+        static = dataclasses.replace(static, train_textures=False)
+
     if problem.mesh is not None:
         from ..parallel.mesh import make_sharded_value_and_grad
 
