@@ -240,6 +240,20 @@ def _quad_gather_bwd(mode, res, g):
     flat_n = b.reshape(-1).shape[0]
     key = ((b * H + iy) * W + ix).reshape(flat_n)
     gf = g.reshape(flat_n, C)
+    if mode == "histogram" and flat_n > 1:
+        # sort, then accumulate on the MXU (ops/texel_hist.py) instead of
+        # the monotone scatter-add
+        from .texel_hist import texel_histogram
+
+        ops = (key,) + tuple(gf[:, c] for c in range(C))
+        s = jax.lax.sort(ops, num_keys=1)
+        dq = texel_histogram(
+            s[0],
+            jnp.stack(s[1:], axis=-1),
+            T_ * H * W,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return dq.reshape(T_, H, W, C), _f0(b), _f0(iy), _f0(ix)
     if mode == "sorted" and flat_n > 1:
         # sort the payload columns along with the key: a (key, perm)
         # 2-operand sort followed by a [N, 12] permutation gather measured

@@ -1,0 +1,127 @@
+"""Pallas TPU kernel: texel-gradient histogram (scatter-add as MXU matmuls).
+
+The VJP of the bilinear quad gather is a scatter-add of [N, 12] cotangents
+into the flat quad atlas.  XLA's TPU scatter serializes on duplicate
+indices; pre-sorting helps (ops/shade._quad_gather "sorted" mode) but the
+monotone scatter itself remains a serial bottleneck.  This kernel finishes
+the job on the MXU:
+
+* rays arrive SORTED by flat texel key (the caller's bitonic lax.sort);
+* the texel space is cut into tiles of TEXEL_TILE rows; each grid step
+  owns one tile and loops over ray chunks, skipping chunks whose
+  (scalar-prefetched) [min, max] key range misses the tile — sorted input
+  makes those ranges tight, so almost every (tile, chunk) pair is skipped;
+* an overlapping chunk contributes  dTile += G_sub^T @ W  where
+  W[n, r] = 1[key_n == tile_lo + r] is built with VPU compares and the
+  contraction runs on the MXU — the "scatter-add as one-hot matmuls on
+  tiles" formulation;
+* chunk data streams HBM -> VMEM with explicit async copies.
+
+Output layout is [16, n_texels] (channel-major: 12 used rows + 4 pad) so
+the minor dimension is the long one — a [n_texels, 12] layout would pad
+every 12-wide row tile to 128 lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 2048  # rays per streamed chunk
+SUB = 512  # rays per one-hot matmul (bounds W's VMEM footprint)
+TEXEL_TILE = 2048  # texel rows per output tile
+CH = 16  # payload channels incl. padding (12 used)
+
+
+def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = False):
+    """sorted_keys [N] int32 (ascending), sorted_vals [N, 12] f32 ->
+    dq [n_texels, 12] with dq[t] = sum of vals whose key == t.
+
+    Keys outside [0, n_texels) are dropped (parity with scatter
+    mode="drop")."""
+    n = sorted_keys.shape[0]
+    n_pad = -(-n // CHUNK) * CHUNK
+    tex_pad = -(-n_texels // TEXEL_TILE) * TEXEL_TILE
+    n_tiles = tex_pad // TEXEL_TILE
+    n_chunks = n_pad // CHUNK
+
+    # pad with an out-of-range key so padding never lands in a tile
+    pad_k = jnp.full((n_pad - n,), tex_pad + TEXEL_TILE, jnp.int32)
+    keys = jnp.concatenate([sorted_keys.astype(jnp.int32), pad_k]).reshape(1, n_pad)
+    vals = jnp.concatenate(
+        [sorted_vals, jnp.zeros((n_pad - n, sorted_vals.shape[1]), sorted_vals.dtype)]
+    )
+    # channel-major [CH, N]: minor dim is the long one (see module docstring)
+    vals_t = jnp.zeros((CH, n_pad), jnp.float32).at[:12, :].set(vals.T)
+
+    # scalar-prefetched per-chunk key ranges drive the skip test
+    kc = keys.reshape(n_chunks, CHUNK)  # (row-major over the [1, n_pad] layout)
+    lo = kc.min(axis=1)
+    hi = kc.max(axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # lo, hi
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # keys [n_pad] (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # vals_t [CH, n_pad] (HBM)
+        ],
+        out_specs=pl.BlockSpec(
+            (CH, TEXEL_TILE), lambda t, lo, hi: (0, t), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, CHUNK), jnp.int32),  # streamed keys
+            pltpu.VMEM((CH, CHUNK), jnp.float32),  # streamed payloads
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kernel(lo_ref, hi_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf, sems):
+        t = pl.program_id(0)
+        tile_lo = t * TEXEL_TILE
+        tile_hi = tile_lo + TEXEL_TILE
+        out_ref[...] = jnp.zeros((CH, TEXEL_TILE), jnp.float32)
+
+        def chunk_body(c, _):
+            overlap = (lo_ref[c] < tile_hi) & (hi_ref[c] >= tile_lo)
+
+            @pl.when(overlap)
+            def _():
+                kd = pltpu.make_async_copy(
+                    keys_hbm.at[:, pl.ds(c * CHUNK, CHUNK)], kbuf, sems.at[0]
+                )
+                vd = pltpu.make_async_copy(
+                    vals_hbm.at[:, pl.ds(c * CHUNK, CHUNK)], vbuf, sems.at[1]
+                )
+                kd.start()
+                vd.start()
+                kd.wait()
+                vd.wait()
+                acc = jnp.zeros((CH, TEXEL_TILE), jnp.float32)
+                for s in range(CHUNK // SUB):
+                    k_sub = kbuf[:, pl.ds(s * SUB, SUB)] - tile_lo  # [1, SUB]
+                    # W_t[r, n] = 1[k_sub[n] == r] — VPU compares, no gathers
+                    rows = jax.lax.broadcasted_iota(jnp.int32, (TEXEL_TILE, SUB), 0)
+                    w_t = (jnp.broadcast_to(k_sub, (TEXEL_TILE, SUB)) == rows).astype(jnp.float32)
+                    g_sub = vbuf[:, pl.ds(s * SUB, SUB)]  # [CH, SUB]
+                    # contract the SUB (ray) axis of both: [CH, TEXEL_TILE]
+                    acc = acc + jax.lax.dot_general(
+                        g_sub, w_t, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                out_ref[...] += acc
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((CH, tex_pad), jnp.float32),
+        interpret=interpret,
+    )(lo, hi, keys, vals_t)
+    return out[:12, :n_texels].T

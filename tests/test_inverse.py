@@ -175,10 +175,13 @@ class TestTexelGradModes:
 
         g_sorted = jax.grad(loss_fn(dataclasses.replace(static, texel_grad_mode="sorted")))(packed)
         g_scatter = jax.grad(loss_fn(dataclasses.replace(static, texel_grad_mode="scatter")))(packed)
+        g_hist = jax.grad(loss_fn(dataclasses.replace(static, texel_grad_mode="histogram")))(packed)
         a = np.asarray(g_sorted.bitmap_atlas)
         b = np.asarray(g_scatter.bitmap_atlas)
         assert np.abs(a).sum() > 0  # texel grads actually flow
         np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-4)
+        # MXU-histogram accumulation (ops/texel_hist.py) == the scatter
+        np.testing.assert_allclose(np.asarray(g_hist.bitmap_atlas), b, atol=1e-6, rtol=1e-4)
 
         # FD check one well-hit texel
         idx = np.unravel_index(np.abs(a).argmax(), a.shape)
