@@ -155,9 +155,11 @@ class SceneStatic:
     # optimized
     train_textures: bool = True
     # texel-cotangent accumulation strategy (ops/shade._quad_gather):
-    # "sorted" pre-sorts by texel key so the scatter-add is monotone;
+    # "histogram" sorts by texel key then accumulates via per-tile one-hot
+    # matmuls on the MXU (ops/texel_hist.py — fastest measured);
+    # "sorted" pre-sorts so the scatter-add is monotone;
     # "scatter" is the naive duplicate-index scatter-add
-    texel_grad_mode: str = "sorted"
+    texel_grad_mode: str = "histogram"
     # forward-only: use the fused Pallas primary kernel when the scene is
     # supported (ops/pallas_trace.supports); ignored otherwise
     use_pallas: bool = False
