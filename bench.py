@@ -68,7 +68,7 @@ def main_grad():
     # compaction is differentiable (cond/gather/scatter all have VJPs);
     # continuing set at this resolution is ~14k rays -> capacity //16.
     # Dead bounce rounds are skipped by the differentiable lax.cond in
-    # _run_rounds; texel grads use the sorted-scatter VJP (both default).
+    # _run_rounds; texel grads use the MXU histogram VJP (both default).
     static = dataclasses.replace(static, aa_enabled=False, bounce_capacity=w * h // 16)
     key = jax.random.PRNGKey(0)
     target = jnp.zeros((h, w, 3), dtype=jnp.float32)
