@@ -595,6 +595,130 @@ def _geom_builders(p):
     return expr_closest, expr_min_dist
 
 
+def _kernel_raygen(p, off, width, height):
+    """In-kernel camera ray generation (camera.d:119-147) on the pos-free
+    corner deltas shipped by _make_packer.  Returns SoA (ox..oz, dx..dz)."""
+    pid = pl.program_id(0)
+    base = pid * TILE_N
+    lin = (
+        base
+        + jax.lax.broadcasted_iota(jnp.int32, TILE, 0) * TILE[1]
+        + jax.lax.broadcasted_iota(jnp.int32, TILE, 1)
+    )
+    xpix = ((lin % width).astype(jnp.float32) + p(off["aa"])) / width
+    ypix = ((lin // width).astype(jnp.float32) + p(off["aa"] + 1)) / height
+
+    c = off["cam"]
+    dx = p(c + 0) + p(c + 3) * xpix + p(c + 6) * ypix
+    dy = p(c + 1) + p(c + 4) * xpix + p(c + 7) * ypix
+    dz = p(c + 2) + p(c + 5) * xpix + p(c + 8) * ypix
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+    zero = jnp.zeros_like(dx)
+    ox, oy, oz = zero + p(c + 9), zero + p(c + 10), zero + p(c + 11)
+    return ox, oy, oz, dx, dy, dz
+
+
+def _node_builders(p, static, off, expr_tables):
+    """In-kernel per-node intersection, closed over the SMEM reader ``p``
+    and the packer layout.  Returns (node_closest, node_min_dist,
+    scene_scan); shared by the fused kernel and the probe harness."""
+    expr_closest, expr_min_dist = _geom_builders(p)
+
+    # ---- per-node closest hit with transforms (node.d:23-68) ------
+    def node_closest(i, ox, oy, oz, dx, dy, dz):
+        ns = static.nodes[i]
+        needs_uv = ns.tex_kind != TEX_NONE
+        expr = expr_tables[i]
+        if ns.identity_transform:
+            return expr_closest(expr, ox, oy, oz, dx, dy, dz, needs_uv)
+        if ns.offset_only:
+            # translation leaves t, normals and canonic UVs untouched;
+            # world p is recomputed from the world ray by the caller
+            b = off[f"n{i}_off"]
+            return expr_closest(expr, ox - p(b), oy - p(b + 1), oz - p(b + 2), dx, dy, dz, needs_uv)
+        b = off[f"n{i}_mtx"]
+        mi = [p(b + 9 + k) for k in range(9)]
+        fx, fy, fz = p(b + 18), p(b + 19), p(b + 20)
+
+        def mulr(v, M):  # row-vector times 3x3 (imported_types.d:13-20)
+            return (
+                v[0] * M[0] + v[1] * M[3] + v[2] * M[6],
+                v[0] * M[1] + v[1] * M[4] + v[2] * M[7],
+                v[0] * M[2] + v[1] * M[5] + v[2] * M[8],
+            )
+
+        def mulr_T(v, M):  # row-vector times M^T
+            return (
+                v[0] * M[0] + v[1] * M[1] + v[2] * M[2],
+                v[0] * M[3] + v[1] * M[4] + v[2] * M[5],
+                v[0] * M[6] + v[1] * M[7] + v[2] * M[8],
+            )
+
+        co = mulr((ox - fx, oy - fy, oz - fz), mi)
+        cd = mulr((dx, dy, dz), mi)
+        dlen = jnp.sqrt(jnp.maximum(cd[0] ** 2 + cd[1] ** 2 + cd[2] ** 2, 1e-30))
+        inv_dl = 1.0 / dlen
+        h = expr_closest(
+            expr, co[0], co[1], co[2], cd[0] * inv_dl, cd[1] * inv_dl, cd[2] * inv_dl, needs_uv
+        )
+        miss = h["t"] >= INF
+        # world p = orig + dir * (t / dlen) exactly (the dist rescaling
+        # makes the world-ray parameterization consistent), so no p
+        # round-trip through the matrix is needed
+        wn = mulr_T((h["nx"], h["ny"], h["nz"]), mi)
+        ninv = _rsqrt(wn[0] ** 2 + wn[1] ** 2 + wn[2] ** 2)
+        out = dict(
+            t=jnp.where(miss, INF, h["t"] * inv_dl),
+            nx=wn[0] * ninv, ny=wn[1] * ninv, nz=wn[2] * ninv,
+        )
+        if needs_uv:
+            out["u"], out["v"] = h["u"], h["v"]
+        return out
+
+    def node_min_dist(i, ox, oy, oz, dx, dy, dz):
+        ns = static.nodes[i]
+        expr = expr_tables[i]
+        if ns.identity_transform:
+            return expr_min_dist(expr, ox, oy, oz, dx, dy, dz)
+        if ns.offset_only:
+            b = off[f"n{i}_off"]
+            return expr_min_dist(expr, ox - p(b), oy - p(b + 1), oz - p(b + 2), dx, dy, dz)
+        b = off[f"n{i}_mtx"]
+        mi = [p(b + 9 + k) for k in range(9)]
+        fx, fy, fz = p(b + 18), p(b + 19), p(b + 20)
+        cox = (ox - fx) * mi[0] + (oy - fy) * mi[3] + (oz - fz) * mi[6]
+        coy = (ox - fx) * mi[1] + (oy - fy) * mi[4] + (oz - fz) * mi[7]
+        coz = (ox - fx) * mi[2] + (oy - fy) * mi[5] + (oz - fz) * mi[8]
+        cdx = dx * mi[0] + dy * mi[3] + dz * mi[6]
+        cdy = dx * mi[1] + dy * mi[4] + dz * mi[7]
+        cdz = dx * mi[2] + dy * mi[5] + dz * mi[8]
+        dlen = jnp.sqrt(jnp.maximum(cdx * cdx + cdy * cdy + cdz * cdz, 1e-30))
+        inv_dl = 1.0 / dlen
+        d = expr_min_dist(expr, cox, coy, coz, cdx * inv_dl, cdy * inv_dl, cdz * inv_dl)
+        return jnp.where(d >= INF, INF, d * inv_dl)
+
+    any_uv = any(ns.tex_kind != TEX_NONE for ns in static.nodes)
+
+    def scene_scan(ox, oy, oz, dx, dy, dz):
+        best = None
+        win = jnp.full(TILE, -1, dtype=jnp.int32)
+        for i in range(len(static.nodes)):
+            cand = node_closest(i, ox, oy, oz, dx, dy, dz)
+            if any_uv and "u" not in cand:
+                cand["u"] = cand["v"] = jnp.zeros(TILE, jnp.float32)
+            if best is None:
+                best = cand
+                win = jnp.where(cand["t"] < INF, i, win)
+            else:
+                better = cand["t"] <= best["t"]  # ties: later node (renderer.d:336-338)
+                win = jnp.where(better & (cand["t"] < INF), i, win)
+                best = _sel(better, cand, best)
+        return best, win
+
+    return node_closest, node_min_dist, scene_scan
+
+
 def build_round0_kernel(
     static: SceneStatic,
     width: int,
@@ -602,6 +726,7 @@ def build_round0_kernel(
     interpret: bool = False,
     n_rays: int = None,
     want_hit: bool = False,
+    want_vis: bool = False,
 ):
     """Returns fn(packed, aa_offset) -> dict of flat [N] arrays:
     color [N], win [N] (int32, -1 = miss), and — when the scene needs
@@ -621,7 +746,13 @@ def build_round0_kernel(
     ``want_hit`` adds raw hit-record outputs — t, the (pre-faceforward)
     normal, the in-kernel diffuse texture color, and the light sum — for
     callers that do their own shading math (the GI path tracer samples
-    BRDF continuations in XLA from these)."""
+    BRDF continuations in XLA from these).
+
+    ``want_vis`` adds one f32 0/1 output per light: the shadow-visibility
+    bit.  Together with win/t/normal these are exactly the discrete
+    residuals the custom-VJP backward (ops/pallas_grad.py) needs to
+    reconstruct the kernel's math differentiably without re-running any
+    scene scan."""
     assert _supports_scene(static)
     ray_input = n_rays is not None
     n = n_rays if ray_input else width * height
@@ -656,127 +787,21 @@ def build_round0_kernel(
             out_t = next(it)
             out_nx, out_ny, out_nz = next(it), next(it), next(it)
             out_dr, out_dg, out_db = next(it), next(it), next(it)
+        if want_vis:
+            out_vis = [next(it) for _ in range(static.n_lights)]
 
         def p(k):
             return prm_ref[k]
-
-        expr_closest, expr_min_dist = _geom_builders(p)
 
         if ray_input:
             ox, oy, oz = rox_ref[:], roy_ref[:], roz_ref[:]
             dx, dy, dz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
         else:
-            pid = pl.program_id(0)
-            base = pid * TILE_N
-            lin = (
-                base
-                + jax.lax.broadcasted_iota(jnp.int32, TILE, 0) * TILE[1]
-                + jax.lax.broadcasted_iota(jnp.int32, TILE, 1)
-            )
-            xpix = ((lin % width).astype(jnp.float32) + p(off["aa"])) / width
-            ypix = ((lin // width).astype(jnp.float32) + p(off["aa"] + 1)) / height
+            ox, oy, oz, dx, dy, dz = _kernel_raygen(p, off, width, height)
 
-            # ray-gen (camera.d:119-147) on pos-free corners
-            c = off["cam"]
-            dx = p(c + 0) + p(c + 3) * xpix + p(c + 6) * ypix
-            dy = p(c + 1) + p(c + 4) * xpix + p(c + 7) * ypix
-            dz = p(c + 2) + p(c + 5) * xpix + p(c + 8) * ypix
-            inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-            dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
-            zero = jnp.zeros_like(dx)
-            ox, oy, oz = zero + p(c + 9), zero + p(c + 10), zero + p(c + 11)
-
-        # ---- per-node closest hit with transforms (node.d:23-68) ------
-        def node_closest(i, ox, oy, oz, dx, dy, dz):
-            ns = static.nodes[i]
-            needs_uv = ns.tex_kind != TEX_NONE
-            expr = expr_tables[i]
-            if ns.identity_transform:
-                return expr_closest(expr, ox, oy, oz, dx, dy, dz, needs_uv)
-            if ns.offset_only:
-                # translation leaves t, normals and canonic UVs untouched;
-                # world p is recomputed from the world ray by the caller
-                b = off[f"n{i}_off"]
-                return expr_closest(expr, ox - p(b), oy - p(b + 1), oz - p(b + 2), dx, dy, dz, needs_uv)
-            b = off[f"n{i}_mtx"]
-            m = [p(b + k) for k in range(9)]  # row-major
-            mi = [p(b + 9 + k) for k in range(9)]
-            fx, fy, fz = p(b + 18), p(b + 19), p(b + 20)
-
-            def mulr(v, M):  # row-vector times 3x3 (imported_types.d:13-20)
-                return (
-                    v[0] * M[0] + v[1] * M[3] + v[2] * M[6],
-                    v[0] * M[1] + v[1] * M[4] + v[2] * M[7],
-                    v[0] * M[2] + v[1] * M[5] + v[2] * M[8],
-                )
-
-            def mulr_T(v, M):  # row-vector times M^T
-                return (
-                    v[0] * M[0] + v[1] * M[1] + v[2] * M[2],
-                    v[0] * M[3] + v[1] * M[4] + v[2] * M[5],
-                    v[0] * M[6] + v[1] * M[7] + v[2] * M[8],
-                )
-
-            co = mulr((ox - fx, oy - fy, oz - fz), mi)
-            cd = mulr((dx, dy, dz), mi)
-            dlen = jnp.sqrt(jnp.maximum(cd[0] ** 2 + cd[1] ** 2 + cd[2] ** 2, 1e-30))
-            inv_dl = 1.0 / dlen
-            h = expr_closest(
-                expr, co[0], co[1], co[2], cd[0] * inv_dl, cd[1] * inv_dl, cd[2] * inv_dl, needs_uv
-            )
-            miss = h["t"] >= INF
-            # world p = orig + dir * (t / dlen) exactly (the dist rescaling
-            # makes the world-ray parameterization consistent), so no p
-            # round-trip through the matrix is needed
-            wn = mulr_T((h["nx"], h["ny"], h["nz"]), mi)
-            ninv = _rsqrt(wn[0] ** 2 + wn[1] ** 2 + wn[2] ** 2)
-            out = dict(
-                t=jnp.where(miss, INF, h["t"] * inv_dl),
-                nx=wn[0] * ninv, ny=wn[1] * ninv, nz=wn[2] * ninv,
-            )
-            if needs_uv:
-                out["u"], out["v"] = h["u"], h["v"]
-            return out
-
-        def node_min_dist(i, ox, oy, oz, dx, dy, dz):
-            ns = static.nodes[i]
-            expr = expr_tables[i]
-            if ns.identity_transform:
-                return expr_min_dist(expr, ox, oy, oz, dx, dy, dz)
-            if ns.offset_only:
-                b = off[f"n{i}_off"]
-                return expr_min_dist(expr, ox - p(b), oy - p(b + 1), oz - p(b + 2), dx, dy, dz)
-            b = off[f"n{i}_mtx"]
-            mi = [p(b + 9 + k) for k in range(9)]
-            fx, fy, fz = p(b + 18), p(b + 19), p(b + 20)
-            cox = (ox - fx) * mi[0] + (oy - fy) * mi[3] + (oz - fz) * mi[6]
-            coy = (ox - fx) * mi[1] + (oy - fy) * mi[4] + (oz - fz) * mi[7]
-            coz = (ox - fx) * mi[2] + (oy - fy) * mi[5] + (oz - fz) * mi[8]
-            cdx = dx * mi[0] + dy * mi[3] + dz * mi[6]
-            cdy = dx * mi[1] + dy * mi[4] + dz * mi[7]
-            cdz = dx * mi[2] + dy * mi[5] + dz * mi[8]
-            dlen = jnp.sqrt(jnp.maximum(cdx * cdx + cdy * cdy + cdz * cdz, 1e-30))
-            inv_dl = 1.0 / dlen
-            d = expr_min_dist(expr, cox, coy, coz, cdx * inv_dl, cdy * inv_dl, cdz * inv_dl)
-            return jnp.where(d >= INF, INF, d * inv_dl)
-
-        any_uv = any(ns.tex_kind != TEX_NONE for ns in static.nodes)
-
-        def scene_scan(ox, oy, oz, dx, dy, dz):
-            best = None
-            win = jnp.full(TILE, -1, dtype=jnp.int32)
-            for i in range(len(static.nodes)):
-                cand = node_closest(i, ox, oy, oz, dx, dy, dz)
-                if any_uv and "u" not in cand:
-                    cand["u"] = cand["v"] = jnp.zeros(TILE, jnp.float32)
-                if best is None:
-                    best = cand
-                    win = jnp.where(cand["t"] < INF, i, win)
-                else:
-                    better = cand["t"] <= best["t"]  # ties: later node (renderer.d:336-338)
-                    win = jnp.where(better & (cand["t"] < INF), i, win)
-                    best = _sel(better, cand, best)
-            return best, win
+        node_closest, node_min_dist, scene_scan = _node_builders(
+            p, static, off, expr_tables
+        )
 
         hit, win = scene_scan(ox, oy, oz, dx, dy, dz)
         hitmask = win >= 0
@@ -864,6 +889,8 @@ def build_round0_kernel(
             for i in range(len(static.nodes)):
                 occ = occ | (node_min_dist(i, sx, sy, sz, sdx, sdy, sdz) <= target)
             vis = ~occ
+            if want_vis:
+                out_vis[li][:] = jnp.where(vis, 1.0, 0.0)
             cos_t = ldx * nx + ldy * ny + ldz * nz
             gate = vis & (cos_t > 0)
             w = jnp.where(gate, cos_t / dist2, 0.0)
@@ -903,8 +930,9 @@ def build_round0_kernel(
             out_lr[:] = jnp.where(shaded, lr, 0.0)
             out_lg[:] = jnp.where(shaded, lg, 0.0)
             out_lb[:] = jnp.where(shaded, lb, 0.0)
-            out_u[:] = hit["u"]
-            out_v[:] = hit["v"]
+            # untextured scenes carry no UVs (want_hit can still ask)
+            out_u[:] = hit.get("u", jnp.zeros(TILE, jnp.float32))
+            out_v[:] = hit.get("v", jnp.zeros(TILE, jnp.float32))
         if want_hit:
             out_t[:] = hit["t"]
             out_nx[:] = hit["nx"]
@@ -976,6 +1004,9 @@ def build_round0_kernel(
     if want_hit:
         names += ["t", "nx", "ny", "nz", "dr", "dg", "db"]
         dtypes += [jnp.float32] * 7
+    if want_vis:
+        names += [f"vis{li}" for li in range(static.n_lights)]
+        dtypes += [jnp.float32] * static.n_lights
 
     out_specs = [pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM) for _ in names]
     out_shape = [
@@ -1031,6 +1062,41 @@ def build_round0_kernel(
 # --------------------------------------------------------------------------
 
 
+def combine_outputs(packed: ScenePacked, static: SceneStatic, o, dirs_or_none):
+    """Kernel outputs -> (direct color incl. deferred texels + env,
+    continuation mask, attenuation factor, refl orig, refl dir).
+
+    Every op here is differentiable; the grad path (ops/pallas_grad.py)
+    shares this combine so bitmap-texel / env / attenuation cotangents are
+    identical to the forward flagship's structure."""
+    from . import shade as S
+
+    has_bitmap = TEX_BITMAP in static.tex_kinds_present
+    has_refl = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
+    win = o["win"]
+    color = jnp.stack([o["r"], o["g"], o["b"]], axis=-1)
+    winc = jnp.maximum(win, 0)
+    onehot = S.node_onehot(static, winc) if (has_bitmap or has_refl) else None
+    if has_bitmap:
+        tex = S.bitmap_color(packed, static, winc, o["u"], o["v"], onehot)
+        L = jnp.stack([o["lr"], o["lg"], o["lb"]], axis=-1)
+        is_bmp = (S.tex_kind_of(static, winc) == TEX_BITMAP) & (win >= 0)
+        color = color + jnp.where(is_bmp[..., None], tex * L, 0.0)
+    if static.has_env and dirs_or_none is not None:
+        from .env import sample_cubemap
+
+        env = sample_cubemap(packed.env_cubemap, dirs_or_none)
+        color = color + jnp.where((win < 0)[..., None], env, 0.0)
+    if not has_refl:
+        return color, None, None, None, None
+    skind = S.shader_kind_of(static, winc)
+    cont = (win >= 0) & ((skind == REFLECTION) | (skind == REFRACTION))
+    atten = jnp.where(cont[..., None], S.node_gather(onehot, packed.mat_color), 1.0)
+    ro = jnp.stack([o["rox"], o["roy"], o["roz"]], axis=-1)
+    rd = jnp.stack([o["rdx"], o["rdy"], o["rdz"]], axis=-1)
+    return color, cont, atten, ro, rd
+
+
 def build_flagship_renderer(static: SceneStatic, width: int, height: int, interpret: bool = False):
     """Full flagship forward renderer: fused Pallas round 0 + XLA texture
     gather / env + Pallas bounce rounds (ray-input kernel at compacted
@@ -1038,10 +1104,8 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
 
     Returns fn(packed) -> [H, W, 3] radiance."""
     from ..render import pipeline as P
-    from . import shade as S
 
     kern = build_round0_kernel(static, width, height, interpret)
-    has_bitmap = TEX_BITMAP in static.tex_kinds_present
     has_refl = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
     rounds = (static.max_trace_depth + 1) if has_refl else 1
     n = width * height
@@ -1055,30 +1119,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         kern_bounce = build_round0_kernel(static, width, height, interpret, n_rays=cap)
 
     def combine(packed, o, dirs_or_none):
-        """Kernel outputs -> (direct color incl. deferred texels + env,
-        continuation mask, attenuation factor, refl orig, refl dir)."""
-        win = o["win"]
-        color = jnp.stack([o["r"], o["g"], o["b"]], axis=-1)
-        winc = jnp.maximum(win, 0)
-        onehot = S.node_onehot(static, winc) if (has_bitmap or has_refl) else None
-        if has_bitmap:
-            tex = S.bitmap_color(packed, static, winc, o["u"], o["v"], onehot)
-            L = jnp.stack([o["lr"], o["lg"], o["lb"]], axis=-1)
-            is_bmp = (S.tex_kind_of(static, winc) == TEX_BITMAP) & (win >= 0)
-            color = color + jnp.where(is_bmp[..., None], tex * L, 0.0)
-        if static.has_env and dirs_or_none is not None:
-            from .env import sample_cubemap
-
-            env = sample_cubemap(packed.env_cubemap, dirs_or_none)
-            color = color + jnp.where((win < 0)[..., None], env, 0.0)
-        if not has_refl:
-            return color, None, None, None, None
-        skind = S.shader_kind_of(static, winc)
-        cont = (win >= 0) & ((skind == REFLECTION) | (skind == REFRACTION))
-        atten = jnp.where(cont[..., None], S.node_gather(onehot, packed.mat_color), 1.0)
-        ro = jnp.stack([o["rox"], o["roy"], o["roz"]], axis=-1)
-        rd = jnp.stack([o["rdx"], o["rdy"], o["rdz"]], axis=-1)
-        return color, cont, atten, ro, rd
+        return combine_outputs(packed, static, o, dirs_or_none)
 
     def _tap_dirs(packed, aa_offset):
         """Miss-ray directions recomputed XLA-side for the env term."""
