@@ -68,8 +68,13 @@ def main_grad():
     # compaction is differentiable (cond/gather/scatter all have VJPs);
     # continuing set at this resolution is ~14k rays -> capacity //16.
     # Dead bounce rounds are skipped by the differentiable lax.cond in
-    # _run_rounds; texel grads use the MXU histogram VJP (both default).
-    static = dataclasses.replace(static, aa_enabled=False, bounce_capacity=w * h // 16)
+    # _run_rounds; texel grads use the MXU histogram VJP (default).
+    # use_pallas: the forward runs the fused kernel and the backward runs
+    # the pinned-discrete XLA re-shade (ops/pallas_grad.py custom VJP) —
+    # no shadow scans anywhere in the grad step.
+    static = dataclasses.replace(
+        static, aa_enabled=False, bounce_capacity=w * h // 16, use_pallas=True
+    )
     key = jax.random.PRNGKey(0)
     target = jnp.zeros((h, w, 3), dtype=jnp.float32)
 
@@ -119,6 +124,63 @@ def main_grad():
         )
     )
     print(f"# fwd+bwd step {dt*1000:.1f} ms, {total/1e6:.2f}M rays/frame", file=sys.stderr)
+
+
+def main_check():
+    """Real-Mosaic regression check (round-3 VERDICT item 3): compile the
+    flagship kernel at reduced resolution on the actual TPU, assert the
+    kernel-path frame agrees with the XLA-path frame (the 1.2e-4 checksum
+    bound BASELINE.md measured, with slack), and assert one fused
+    value_and_grad step is finite.  Prints one JSON verdict line; exits
+    nonzero on failure so CI/driver hooks can gate on it.
+
+    All kernel unit tests run interpret=True on CPU — this is the only
+    harnessed check of actual Mosaic lowering (retiling, spills,
+    polynomial accuracy)."""
+    import dataclasses
+
+    from chess2rt_tpu.render.pipeline import render_frame
+
+    w, h = 480, 272
+    packed, static = build(w, h)
+    static_p = dataclasses.replace(
+        static, use_pallas=True, aa_enabled=False, bounce_capacity=w * h // 16
+    )
+    static_x = dataclasses.replace(static, use_pallas=False, aa_enabled=False)
+    key = jax.random.PRNGKey(0)
+
+    img_p = np.asarray(jax.jit(lambda p: render_frame(p, static_p, key))(packed))
+    img_x = np.asarray(jax.jit(lambda p: render_frame(p, static_x, key))(packed))
+    rel_checksum = abs(img_p.sum() - img_x.sum()) / max(abs(img_x.sum()), 1e-9)
+    close = float(np.mean(np.abs(img_p - img_x) <= 2e-3 + 2e-3 * np.abs(img_x)))
+
+    def loss(p, k):
+        return ((render_frame(p, static_p, k) - jnp.zeros((h, w, 3))) ** 2).mean()
+
+    lv, g = jax.jit(jax.value_and_grad(loss))(packed, key)
+    leaves = jax.tree.leaves(g)
+    grad_finite = bool(np.isfinite(float(lv))) and all(
+        bool(jnp.isfinite(x).all()) for x in leaves
+    )
+    grad_nonzero = sum(float(jnp.abs(x).sum()) for x in leaves) > 0
+
+    ok = (rel_checksum < 5e-4) and (close > 0.99) and grad_finite and grad_nonzero
+    print(
+        json.dumps(
+            {
+                "metric": "mosaic_check",
+                "value": round(float(rel_checksum), 8),
+                "unit": "rel_checksum_delta",
+                "vs_baseline": None,
+                "pixels_close": round(close, 5),
+                "grad_finite": grad_finite,
+                "grad_nonzero": grad_nonzero,
+                "ok": ok,
+            }
+        )
+    )
+    if not ok:
+        sys.exit(1)
 
 
 def main():
@@ -258,6 +320,8 @@ def main_verify_counts():
 if __name__ == "__main__":
     if "--grad" in sys.argv:
         main_grad()
+    elif "--check" in sys.argv:
+        main_check()
     elif "--verify-counts" in sys.argv:
         main_verify_counts()
     else:

@@ -76,6 +76,12 @@ def fit(
         # grads would be masked to zero anyway — stop them at the source
         static = dataclasses.replace(static, train_textures=False)
 
+    if not static.use_pallas and jax.default_backend() == "tpu":
+        # the fused kernel is differentiable (ops/pallas_grad.py custom
+        # VJP), so inverse rendering defaults to it on TPU; render_frame
+        # still falls back to pure XLA for unsupported scene structures
+        static = dataclasses.replace(static, use_pallas=True)
+
     if problem.mesh is not None:
         from ..parallel.mesh import make_sharded_value_and_grad
 

@@ -160,9 +160,13 @@ class SceneStatic:
     # "sorted" pre-sorts so the scatter-add is monotone;
     # "scatter" is the naive duplicate-index scatter-add
     texel_grad_mode: str = "histogram"
-    # forward-only: use the fused Pallas primary kernel when the scene is
-    # supported (ops/pallas_trace.supports); ignored otherwise
+    # use the fused Pallas primary kernel when the scene is supported
+    # (ops/pallas_trace.supports); differentiable via the custom-VJP
+    # wrapper (ops/pallas_grad.py), so inverse rendering dispatches too
     use_pallas: bool = False
+    # run the Pallas kernels in interpreter mode (CPU testing of the fused
+    # path without a TPU; also lets render_frame dispatch to it off-TPU)
+    interpret_pallas: bool = False
     # rematerialize wavefront rounds in the backward pass (jax.checkpoint):
     # scan residuals with [N, 1] trailing dims get 128x-padded by TPU
     # tiling and can blow HBM; recompute is cheap relative to that

@@ -1,0 +1,351 @@
+"""Differentiable fused round-0: custom-VJP wrapper over the Pallas kernel.
+
+Round-3 headline item: inverse rendering (the framework's north star,
+grad/inverse.fit) previously ran its forward through the ~18x-slower pure
+XLA wavefront because the fused kernel (ops/pallas_trace.py) had no VJP.
+This module gives it one:
+
+* **forward** = the fused Pallas kernel itself (ray-gen + closest-hit +
+  shadow scans + direct shading in VMEM);
+* **backward** = ``jax.vjp`` of an XLA *re-shade* that recomputes the
+  kernel's continuous math with the discrete structure PINNED to the
+  kernel's own decisions, saved as kernel outputs:
+    - the winning node id ``win`` — the closest-hit running-min select
+      collapses to ``where(win == i, ...)`` per node;
+    - per-light shadow-visibility bits (``want_vis`` outputs) — the
+      any-hit occlusion scans, the single most expensive part of the XLA
+      forward, never run in the backward.  Their VJP is identically zero
+      anyway (comparisons only), exactly the property the XLA pipeline's
+      ``save_only_these_names("shadow_vis")`` remat policy exploits.
+
+Gradients therefore flow through the same continuous formulas as the pure
+XLA VJP — ops/geometry.node_closest partials (sphere/cube/plane/CSG winner
+record, transform dist-rescaling, rt/node.d:51-67), the Lambert/Phong
+direct terms (rt/shader.d:67-105), and the reflection/refraction
+continuation algebra — while both the forward and the backward's primal
+recompute skip every discrete scan.  Deferred pieces (bitmap texels,
+environment misses, bounce compaction) already live in differentiable XLA
+(ops/pallas_trace.combine_outputs, ops/shade._quad_gather), so the whole
+flagship renderer composes into ``jax.value_and_grad`` unchanged.
+
+Discrete-pin caveat (standard differentiable rendering, SURVEY.md §7.0):
+at lanes where kernel and XLA fp would disagree about a knife-edge winner
+or shadow bit, the two VJPs differ; everywhere else they agree to fp
+tolerance (tests/test_pallas_grad.py pins this against the XLA pipeline).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.packed import (
+    LAMBERT,
+    PHONG,
+    REFLECTION,
+    REFRACTION,
+    TEX_BITMAP,
+    TEX_CHECKER,
+    TEX_PROC2,
+    ScenePacked,
+    SceneStatic,
+)
+from . import geometry as G
+from . import shade as S
+from .camera import begin_frame, screen_rays
+from .pallas_trace import EPS_SHADOW, INF, build_round0_kernel
+
+
+def _norm(v):
+    return v / jnp.sqrt(jnp.maximum((v * v).sum(-1, keepdims=True), 1e-30))
+
+
+def dot(a, b):
+    return (a * b).sum(-1)
+
+
+# --------------------------------------------------------------------------
+# XLA re-shade with pinned discrete structure
+# --------------------------------------------------------------------------
+
+
+def _pinned_record(packed, static, orig, dir, win):
+    """The winning node's hit record, selected by the PINNED win id instead
+    of a running-min compare (mirrors ops/geometry.scene_closest's per-node
+    math; the select itself is piecewise-constant, matching the zero
+    gradient the XLA argmin select carries)."""
+    rec = None
+    for i, ns in enumerate(static.nodes):
+        cand = G.node_closest(packed, ns, i, orig, dir)
+        if rec is None:
+            rec = cand
+        else:
+            m = win == i
+            mv = m[..., None]
+            rec = {
+                "dist": jnp.where(m, cand["dist"], rec["dist"]),
+                "normal": jnp.where(mv, cand["normal"], rec["normal"]),
+                "u": jnp.where(m, cand["u"], rec["u"]),
+                "v": jnp.where(m, cand["v"], rec["v"]),
+                "p": rec["p"],  # unused: the kernel recomputes p from t
+            }
+    return rec
+
+
+def _diffuse_nobitmap(packed, static, winc, u, v, onehot):
+    """texture_color minus the bitmap branch — the kernel defers bitmap
+    texels to XLA (combine_outputs), emitting dr = 0 for bitmap nodes, so
+    the re-shade must reproduce that decomposition (NOT the fused XLA
+    pipeline's, which multiplies texels in-shade)."""
+    tk = S.tex_kind_of(static, winc)
+    out = S.node_gather(onehot, packed.mat_color)
+    present = static.tex_kinds_present
+
+    if TEX_CHECKER in present:
+        size = S.node_gather(onehot, packed.checker_size)
+        x = jnp.floor(u / size).astype(jnp.int32)
+        y = jnp.floor(v / size).astype(jnp.int32)
+        white = ((x + y) & 1).astype(bool)
+        checker = jnp.where(
+            white[..., None],
+            S.node_gather(onehot, packed.checker_c2),
+            S.node_gather(onehot, packed.checker_c1),
+        )
+        out = jnp.where((tk == TEX_CHECKER)[..., None], checker, out)
+
+    if TEX_PROC2 in present:
+        su = jnp.sin(u[..., None] * S.node_gather(onehot, packed.proc2_freq_u))
+        sv = jnp.sin(v[..., None] * S.node_gather(onehot, packed.proc2_freq_v))
+        proc = (S.node_gather(onehot, packed.proc2_color_u) * su[..., None]).sum(-2) + (
+            S.node_gather(onehot, packed.proc2_color_v) * sv[..., None]
+        ).sum(-2)
+        out = jnp.where((tk == TEX_PROC2)[..., None], proc, out)
+
+    if TEX_BITMAP in present:
+        out = jnp.where((tk == TEX_BITMAP)[..., None], 0.0, out)
+    return out
+
+
+def reshade(packed: ScenePacked, static: SceneStatic, orig, dir, win, vis_list, want_hit=False):
+    """Differentiable XLA recompute of the round-0 kernel's float outputs
+    given pinned (win, vis).  Input/output contract mirrors
+    build_round0_kernel: returns the same keys minus ``win`` and the vis
+    residuals.  ``vis_list`` holds one boolean [N] mask per light."""
+    has_bitmap = TEX_BITMAP in static.tex_kinds_present
+    has_refl = REFLECTION in static.shader_kinds_present
+    has_refr = REFRACTION in static.shader_kinds_present
+    has_cont = has_refl or has_refr
+    has_phong = PHONG in static.shader_kinds_present
+    emit_L = has_bitmap or want_hit
+
+    hitmask = win >= 0
+    winc = jnp.maximum(win, 0)
+    onehot = S.node_onehot(static, winc)
+    rec = _pinned_record(packed, static, orig, dir, win)
+
+    # world hit point from the winning t, dead lanes clamped finite —
+    # matches the kernel's position-free record recompute
+    ts = jnp.where(hitmask, rec["dist"], 0.0)
+    hp = orig + dir * ts[..., None]
+
+    # faceforward (imported_types.d:69-73), kernel-style sign select
+    ndotd = dot(dir, rec["normal"])
+    sgn = jnp.where(ndotd < 0, 1.0, -1.0)
+    N = rec["normal"] * sgn[..., None]
+    sfrom = hp + N * EPS_SHADOW
+
+    diffuse = _diffuse_nobitmap(packed, static, winc, rec["u"], rec["v"], onehot)
+
+    # ---- direct lighting, shadow scans replaced by pinned vis bits ------
+    L = jnp.broadcast_to(packed.ambient, hp.shape)
+    spec = jnp.zeros_like(hp) if has_phong else None
+    for li in range(static.n_lights):
+        lp = packed.light_pos[li]
+        lc = packed.light_color[li] * packed.light_power[li]
+        vis = vis_list[li]
+        to_l = lp - hp
+        dist2 = dot(to_l, to_l)
+        ldir = to_l * jax.lax.rsqrt(jnp.maximum(dist2, 1e-30))[..., None]
+        cos_t = dot(ldir, N)
+        w = jnp.where(vis & (cos_t > 0), cos_t / dist2, 0.0)
+        L = L + lc * w[..., None]
+        if has_phong:
+            # R = reflect(-lightDir, N); cosGamma = R . -d (shader.d:226-249)
+            mdotn = dot(-ldir, N)
+            R = -ldir - 2.0 * mdotn[..., None] * N
+            R = R * jax.lax.rsqrt(jnp.maximum(dot(R, R), 1e-30))[..., None]
+            cos_g = dot(R, -dir)
+            exponent = S.node_gather(onehot, packed.mat_exponent)
+            strength = S.node_gather(onehot, packed.mat_strength)
+            sw = jnp.where(
+                vis & (cos_g > 0),
+                jnp.power(jnp.maximum(cos_g, 0.0), exponent) * strength / dist2,
+                0.0,
+            )
+            spec = spec + lc * sw[..., None]
+
+    color = diffuse * L
+    if has_phong:
+        is_phong = S.shader_kind_of(static, winc) == PHONG
+        color = color + jnp.where(is_phong[..., None], spec, 0.0)
+
+    is_direct_vals = [1 if ns.shader_kind in (LAMBERT, PHONG) else 0 for ns in static.nodes]
+    is_direct = S.static_select(winc, is_direct_vals).astype(bool)
+    shaded = hitmask & is_direct
+
+    out = {
+        "r": jnp.where(shaded, color[..., 0], 0.0),
+        "g": jnp.where(shaded, color[..., 1], 0.0),
+        "b": jnp.where(shaded, color[..., 2], 0.0),
+    }
+    if emit_L:
+        out["lr"] = jnp.where(shaded, L[..., 0], 0.0)
+        out["lg"] = jnp.where(shaded, L[..., 1], 0.0)
+        out["lb"] = jnp.where(shaded, L[..., 2], 0.0)
+        out["u"] = rec["u"]
+        out["v"] = rec["v"]
+
+    if has_cont:
+        # mirror continuation + single-sided refraction with TIR fallback,
+        # replicating the kernel's op sequence (pallas_trace.py:944-994)
+        ddn = dot(dir, N)
+        rd = dir - 2.0 * ddn[..., None] * N
+        rd = rd * jax.lax.rsqrt(jnp.maximum(dot(rd, rd), 1e-30))[..., None]
+        ro = sfrom
+        if has_refr:
+            rn = rec["normal"]
+            ior = S.node_gather(onehot, packed.mat_ior)
+            is_refr = S.shader_kind_of(static, winc) == REFRACTION
+            cos_in = -dot(dir, rn)
+            entering = cos_in > 0
+            eta = jnp.where(entering, 1.0 / ior, ior)
+            nf = rn * jnp.where(entering, 1.0, -1.0)[..., None]
+            ci = jnp.abs(cos_in)
+            kk = 1.0 - eta * eta * (1.0 - ci * ci)
+            tir = kk < 0
+            coef = eta * ci - jnp.sqrt(jnp.maximum(kk, 0.0))
+            f = eta[..., None] * dir + coef[..., None] * nf
+            f = f * jax.lax.rsqrt(jnp.maximum(dot(f, f), 1e-30))[..., None]
+            rfd = jnp.where(tir[..., None], rd, f)
+            rfo = jnp.where(tir[..., None], hp + nf * EPS_SHADOW, hp - nf * EPS_SHADOW)
+            rd = jnp.where(is_refr[..., None], rfd, rd)
+            ro = jnp.where(is_refr[..., None], rfo, ro)
+        out["rox"], out["roy"], out["roz"] = ro[..., 0], ro[..., 1], ro[..., 2]
+        out["rdx"], out["rdy"], out["rdz"] = rd[..., 0], rd[..., 1], rd[..., 2]
+
+    if want_hit:
+        out["t"] = jnp.where(hitmask, rec["dist"], INF)
+        out["nx"], out["ny"], out["nz"] = (
+            rec["normal"][..., 0],
+            rec["normal"][..., 1],
+            rec["normal"][..., 2],
+        )
+        out["dr"], out["dg"], out["db"] = diffuse[..., 0], diffuse[..., 1], diffuse[..., 2]
+    return out
+
+
+def _gen_rays(packed, width, height, aa):
+    """XLA twin of the kernel's in-kernel ray-gen (pos-free corner
+    interpolation — identical op sequence to ops/camera.screen_rays)."""
+    n = width * height
+    frame = begin_frame(packed.camera, width / height)
+    dt = packed.camera.pos.dtype
+    lin = jnp.arange(n)
+    xs = (lin % width).astype(dt) + aa[0]
+    ys = (lin // width).astype(dt) + aa[1]
+    return screen_rays(packed.camera, frame, float(width), float(height), xs, ys, 0.0)
+
+
+# --------------------------------------------------------------------------
+# Custom-VJP builders (drop-in for build_round0_kernel's run functions)
+# --------------------------------------------------------------------------
+
+
+def build_diff_round0(
+    static: SceneStatic,
+    width: int,
+    height: int,
+    interpret: bool = False,
+    n_rays: int = None,
+    want_hit: bool = False,
+):
+    """A differentiable drop-in for ``build_round0_kernel``:
+
+    * screen-tap form: ``fn(packed, aa_offset) -> o`` with cotangents for
+      every ScenePacked leaf (incl. camera, via the XLA ray-gen twin);
+    * ray-input form (``n_rays`` set): ``fn(packed, orig, dir) -> o`` with
+      cotangents also flowing to orig/dir — bounce rounds chain gradients
+      through the whole Whitted recursion.
+
+    The primal call runs the plain kernel (identical cost to the
+    forward-only path); only under differentiation does the fwd pass pay
+    for the extra ``want_vis`` residual outputs."""
+    ray_input = n_rays is not None
+    kern_plain = build_round0_kernel(
+        static, width, height, interpret, n_rays=n_rays, want_hit=want_hit
+    )
+    kern_resid = build_round0_kernel(
+        static, width, height, interpret, n_rays=n_rays, want_hit=want_hit, want_vis=True
+    )
+    vis_names = [f"vis{li}" for li in range(static.n_lights)]
+
+    def _split(o):
+        vis = [o[k] > 0.5 for k in vis_names]
+        basic = {k: v for k, v in o.items() if k not in vis_names}
+        return basic, vis
+
+    def _vjp_through(g, fn, *primals):
+        # g carries float0 for the int win output; reshade emits only the
+        # float keys, so pair them up by name
+        _, vjp = jax.vjp(fn, *primals)
+        gs = {k: v for k, v in g.items() if k != "win"}
+        return vjp(gs)
+
+    if ray_input:
+
+        @jax.custom_vjp
+        def f(packed, orig, dir):
+            return kern_plain(packed, orig, dir)
+
+        def f_fwd(packed, orig, dir):
+            basic, vis = _split(kern_resid(packed, orig, dir))
+            return basic, (packed, orig, dir, basic["win"], vis)
+
+        def f_bwd(res, g):
+            packed, orig, dir, win, vis = res
+
+            def rf(p, o3, d3):
+                return reshade(p, static, o3, d3, win, vis, want_hit=want_hit)
+
+            return _vjp_through(g, rf, packed, orig, dir)
+
+        f.defvjp(f_fwd, f_bwd)
+
+        def run(packed, orig, dir, aa_offset=(0.0, 0.0)):
+            return f(packed, orig, dir)
+
+        return run
+
+    @jax.custom_vjp
+    def f(packed, aa):
+        return kern_plain(packed, aa)
+
+    def f_fwd(packed, aa):
+        basic, vis = _split(kern_resid(packed, aa))
+        return basic, (packed, aa, basic["win"], vis)
+
+    def f_bwd(res, g):
+        packed, aa, win, vis = res
+
+        def rf(p, a):
+            orig, dir = _gen_rays(p, width, height, a)
+            return reshade(p, static, orig, dir, win, vis, want_hit=want_hit)
+
+        return _vjp_through(g, rf, packed, aa)
+
+    f.defvjp(f_fwd, f_bwd)
+
+    def run(packed, aa_offset=(0.0, 0.0)):
+        return f(packed, jnp.asarray(aa_offset, jnp.float32).reshape(2))
+
+    return run

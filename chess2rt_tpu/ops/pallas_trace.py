@@ -35,8 +35,11 @@ Design notes
   **SoA scalars**: every vector quantity is three (8, 128) registers.
 * Scene parameters arrive as one flat f32 vector in SMEM with a layout
   computed per SceneStatic; node/light loops unroll statically.
-* The kernel is FORWARD-ONLY (no custom VJP); gradient paths use the XLA
-  pipeline.
+* Gradients: the raw kernel has no VJP, but ops/pallas_grad.build_diff_round0
+  wraps it in a custom VJP (backward = XLA re-shade with the kernel's
+  discrete decisions pinned via the want_vis residuals); the flagship and
+  GI renderers build their kernels through that wrapper, so
+  jax.value_and_grad works through this module end-to-end.
 """
 
 from __future__ import annotations
@@ -1102,10 +1105,14 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
     gather / env + Pallas bounce rounds (ray-input kernel at compacted
     width) + the 5-tap AA loop.
 
-    Returns fn(packed) -> [H, W, 3] radiance."""
+    Returns fn(packed) -> [H, W, 3] radiance.  Differentiable end-to-end:
+    the kernels carry a custom VJP whose backward re-shades in XLA with the
+    kernel's own discrete decisions pinned (ops/pallas_grad.py), and every
+    XLA-side stage (combine, compaction, AA scan) already has a VJP."""
     from ..render import pipeline as P
+    from .pallas_grad import build_diff_round0
 
-    kern = build_round0_kernel(static, width, height, interpret)
+    kern = build_diff_round0(static, width, height, interpret)
     has_refl = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
     rounds = (static.max_trace_depth + 1) if has_refl else 1
     n = width * height
@@ -1116,7 +1123,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
     use_pallas_bounce = has_refl and cap and cap < n
     if use_pallas_bounce:
         cap = -(-cap // TILE_N) * TILE_N
-        kern_bounce = build_round0_kernel(static, width, height, interpret, n_rays=cap)
+        kern_bounce = build_diff_round0(static, width, height, interpret, n_rays=cap)
 
     def combine(packed, o, dirs_or_none):
         return combine_outputs(packed, static, o, dirs_or_none)
@@ -1197,7 +1204,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         # DoF / stereo: XLA generates the (jittered, offset) rays with the
         # SAME jax.random stream as render/pipeline.render_samples, the
         # ray-input kernel traces them — MC modes get the fused path too.
-        kern_rays = build_round0_kernel(static, width, height, interpret, n_rays=n)
+        kern_rays = build_diff_round0(static, width, height, interpret, n_rays=n)
 
         def trace_rays(packed, orig, dir):
             o = kern_rays(packed, orig, dir)
@@ -1303,8 +1310,11 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
 
     n = width * height
     # every round traces caller rays (round 0's are the jittered MC camera
-    # rays generated in XLA), so only the ray-input kernel is needed
-    kernR = build_round0_kernel(static, width, height, interpret, n_rays=n, want_hit=True)
+    # rays generated in XLA), so only the ray-input kernel is needed; the
+    # diff wrapper makes GI fitting work through the fused path too
+    from .pallas_grad import build_diff_round0
+
+    kernR = build_diff_round0(static, width, height, interpret, n_rays=n, want_hit=True)
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
 
     def hit_of(packed, o):

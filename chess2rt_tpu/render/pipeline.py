@@ -447,17 +447,23 @@ def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
     dt = packed.node_matrix.dtype
     W, H = static.width, static.height
 
-    if static.use_pallas and dt == jnp.float32 and jax.default_backend() == "tpu":
+    if (
+        static.use_pallas
+        and dt == jnp.float32
+        and (jax.default_backend() == "tpu" or static.interpret_pallas)
+    ):
         from ..ops import pallas_trace as PT
 
+        interp = static.interpret_pallas
         if PT.supports(static):
             # fused Pallas round 0 (+ XLA bitmap gather / env / compacted
-            # bounce rounds + AA loop) — forward-only fast path
-            return PT.build_flagship_renderer(static, W, H)(packed, key)
+            # bounce rounds + AA loop); differentiable via the custom-VJP
+            # kernels (ops/pallas_grad.py), so grad traces dispatch too
+            return PT.build_flagship_renderer(static, W, H, interp)(packed, key)
         if PT.supports_gi(static):
             # GI: closest-hit + NEE light sums in-kernel, BRDF sampling in
             # XLA with the same jax.random stream as trace_path
-            return PT.build_gi_renderer(static, W, H)(packed, key)
+            return PT.build_gi_renderer(static, W, H, interp)(packed, key)
 
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=dt), jnp.arange(W, dtype=dt), indexing="ij")
     xf = xs.reshape(-1)

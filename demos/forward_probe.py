@@ -1,0 +1,102 @@
+"""Flagship forward cost attribution (round 3).
+
+demos/kernel_probe.py showed the fused round-0 kernel itself costs ~1 ms
+per 1080p tap once the ~30 ms tunnel roundtrip is amortized out — so the
+~57 ms flagship frame is dominated by the XLA glue around it.  This probe
+times staged slices of one tap on the real TPU:
+
+    kern      — the round-0 pallas_call alone (sum of raw outputs)
+    combine   — kern + combine_outputs (deferred bitmap texel gather, env)
+    tap       — render_tap (combine + compacted Pallas bounce rounds)
+    frame     — the full 5-tap AA frame via build_flagship_renderer
+
+Usage: python demos/forward_probe.py [stage ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from bench import build  # flagship lecture5+mirror scene
+from chess2rt_tpu.ops import pallas_trace as PT
+
+WIDTH, HEIGHT = 1920, 1080
+ITERS = 8
+REPEATS = 3
+
+
+def time_fn(name, fn, packed, iters=ITERS):
+    def many(p):
+        def body(acc, i):
+            return acc + fn(p, (i.astype(jnp.float32) * 1e-6, 0.0)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
+        return acc
+
+    j = jax.jit(many)
+    t0 = time.perf_counter()
+    v = float(j(packed))
+    print(f"{name}: compile+first {time.perf_counter()-t0:.1f}s checksum {v:.3e}", flush=True)
+    assert np.isfinite(v)
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(j(packed))
+        times.append(time.perf_counter() - t0)
+    total = min(times)
+    ms = total / iters * 1000
+    print(f"{name}: {ms:.2f} ms/tap raw ({total*1000:.1f} ms for {iters}; "
+          f"subtract the ~30 ms roundtrip once per call)", flush=True)
+    return total
+
+
+def main():
+    stages = sys.argv[1:] or ["kern", "combine", "tap", "frame"]
+    import dataclasses
+
+    packed, static = build(WIDTH, HEIGHT)
+    static = dataclasses.replace(
+        static, use_pallas=True, fast_forward=True, bounce_capacity=2073600 // 16
+    )
+    print(f"# devices: {jax.devices()}", flush=True)
+
+    kern = PT.build_round0_kernel(static, WIDTH, HEIGHT)
+    renderer = PT.build_flagship_renderer(static, WIDTH, HEIGHT)
+
+    def kern_fn(p, aa):
+        o = kern(p, jnp.asarray(aa, jnp.float32).reshape(2))
+        return sum(v.sum() for v in o.values() if v.dtype == jnp.float32)
+
+    def combine_fn(p, aa):
+        aa = jnp.asarray(aa, jnp.float32).reshape(2)
+        o = kern(p, aa)
+        color, cont, atten, ro, rd = PT.combine_outputs(p, static, o, None)
+        s = color.sum()
+        if cont is not None:
+            s = s + atten.sum() + ro.sum() + rd.sum()
+        return s
+
+    def tap_fn(p, aa):
+        return renderer.tap(p, jnp.asarray(aa, jnp.float32).reshape(2)).sum()
+
+    def frame_fn(p, aa):
+        key = jax.random.PRNGKey(0)
+        return renderer(p, key).sum() + 0.0 * jnp.asarray(aa[0])
+
+    fns = {"kern": kern_fn, "combine": combine_fn, "tap": tap_fn, "frame": frame_fn}
+    for stage in stages:
+        try:
+            time_fn(stage, fns[stage], packed, iters=(4 if stage == "frame" else ITERS))
+        except Exception as e:
+            print(f"{stage}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
