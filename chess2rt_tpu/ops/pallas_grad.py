@@ -143,9 +143,14 @@ def reshade(packed: ScenePacked, static: SceneStatic, orig, dir, win, vis_list, 
     onehot = S.node_onehot(static, winc)
     rec = _pinned_record(packed, static, orig, dir, win)
 
-    # world hit point from the winning t, dead lanes clamped finite —
-    # matches the kernel's position-free record recompute
-    ts = jnp.where(hitmask, rec["dist"], 0.0)
+    # world hit point from the winning t.  Dead lanes AND knife-edge lanes
+    # where the kernel reported a hit the XLA recompute just misses
+    # (dist == INF under slightly different fp) are clamped to t = 0:
+    # the forward masks them out either way, but an unclamped INF would
+    # leak NaN cotangents through the untaken where-branches in the
+    # backward (the jax "where-NaN" trap), poisoning every geometry leaf.
+    t_ok = hitmask & (rec["dist"] < INF)
+    ts = jnp.where(t_ok, rec["dist"], 0.0)
     hp = orig + dir * ts[..., None]
 
     # faceforward (imported_types.d:69-73), kernel-style sign select
@@ -234,7 +239,7 @@ def reshade(packed: ScenePacked, static: SceneStatic, orig, dir, win, vis_list, 
         out["rdx"], out["rdy"], out["rdz"] = rd[..., 0], rd[..., 1], rd[..., 2]
 
     if want_hit:
-        out["t"] = jnp.where(hitmask, rec["dist"], INF)
+        out["t"] = jnp.where(t_ok, rec["dist"], INF)
         out["nx"], out["ny"], out["nz"] = (
             rec["normal"][..., 0],
             rec["normal"][..., 1],
