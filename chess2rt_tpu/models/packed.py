@@ -185,6 +185,32 @@ class SceneStatic:
         return 1e30  # f32-safe stand-in for the reference's 1e99 seed
 
 
+def leaf_table(static: SceneStatic):
+    """Global enumeration of geometry LEAVES in left-then-right traversal
+    order: returns (leaves, node_base) with leaves[g] = (node_idx, kind,
+    table_idx) and node_base[i] = global id of node i's first leaf.
+
+    The leaf-pinned custom-VJP backward (ops/pallas_grad.py) matches the
+    fused kernel's saved winning-hit t against each leaf's closed-form
+    candidate solutions under this numbering, then reconstructs the
+    winning primitive's partials in closed form — no CSG re-walk, no
+    per-node all-hits sort networks in the backward."""
+    leaves = []
+    node_base = []
+    for i, ns in enumerate(static.nodes):
+        node_base.append(len(leaves))
+
+        def walk(e, i=i):
+            if e[0] == "csg":
+                walk(e[2])
+                walk(e[3])
+            else:
+                leaves.append((i, e[0], e[1]))
+
+        walk(ns.geom)
+    return leaves, node_base
+
+
 def max_hits(expr: Tuple) -> int:
     """Static per-ray hit capacity of a geometry expression (SURVEY.md §7.2)."""
     if expr[0] == "plane":

@@ -11,7 +11,13 @@ This module gives it one:
   kernel's continuous math with the discrete structure PINNED to the
   kernel's own decisions, saved as kernel outputs:
     - the winning node id ``win`` — the closest-hit running-min select
-      collapses to ``where(win == i, ...)`` per node;
+      collapses to piecewise-constant selects;
+    - the winning hit's t and raw normal (``want_hit`` outputs) — matched
+      once (forward-only, stop_gradient) against each leaf primitive's
+      closed-form candidate solutions to pin WHICH leaf and which of its
+      roots/faces won (compute_leaf_pins), so the differentiable
+      recompute is one closed form per leaf (leaf_pinned_record): no CSG
+      interval walk or all-hits sort network ever runs in the backward;
     - per-light shadow-visibility bits (``want_vis`` outputs) — the
       any-hit occlusion scans, the single most expensive part of the XLA
       forward, never run in the backward.  Their VJP is identically zero
@@ -49,6 +55,7 @@ from ..models.packed import (
     TEX_PROC2,
     ScenePacked,
     SceneStatic,
+    leaf_table,
 )
 from . import geometry as G
 from . import shade as S
@@ -67,6 +74,133 @@ def dot(a, b):
 # --------------------------------------------------------------------------
 # XLA re-shade with pinned discrete structure
 # --------------------------------------------------------------------------
+
+
+def _node_space(packed, static, i, orig, dir):
+    """Node-i canonic-space rays (the node.d:51-67 round trip): returns
+    (orig_l, dir_l, inv_dl, m_inv); inv_dl/m_inv are None for
+    identity/offset-only nodes (no dist rescale, no normal transform)."""
+    ns = static.nodes[i]
+    if ns.identity_transform:
+        return orig, dir, None, None
+    offset = packed.node_offset[i]
+    if ns.offset_only:
+        return orig - offset, dir, None, None
+    m_inv = jnp.linalg.inv(packed.node_matrix[i])
+    co = (orig - offset) @ m_inv
+    cd = dir @ m_inv
+    dlen = jnp.sqrt(jnp.maximum(dot(cd, cd), 1e-30))
+    return co, cd / dlen[..., None], 1.0 / dlen, m_inv
+
+
+def _leaf_candidates(packed, kind, k, o_l, d_l):
+    """Closed-form candidate hit distances of one geometry leaf in LOCAL
+    units, INF-masked exactly like the real intersectors; one
+    (dist, sel) pair per solution branch (plane: 1; sphere: the two
+    quadratic roots; cube: the six faces)."""
+    if kind == "plane":
+        rec = G.plane_closest(packed.plane_y[k], packed.plane_limit[k], o_l, d_l)
+        return [(rec["dist"], 0)]
+    if kind == "sphere":
+        has, x1, x2 = G._sphere_roots(packed.sphere_center[k], packed.sphere_r[k], o_l, d_l)
+        return [
+            (jnp.where(has & (x2 >= 0), x2, INF), 0),
+            (jnp.where(has & (x1 >= 0), x1, INF), 1),
+        ]
+    faces = G._cube_face_candidates(packed.cube_center[k], packed.cube_side[k], o_l, d_l)
+    return [(faces["dist"][..., fi], fi) for fi in range(6)]
+
+
+def compute_leaf_pins(packed, static, orig, dir, win, t_pin):
+    """(gleaf, sel) int32 pins: which global leaf (models/packed.leaf_table
+    numbering) and which of its solution branches produced the kernel's
+    winning hit, found by nearest-|t| matching against the saved winning
+    distance.  Every CSG boundary crossing IS one of its leaves' closed-form
+    solutions, so the match recovers the parity walk's decision without
+    re-running it.  Pure forward-only compare-selects — the caller wraps
+    the inputs in stop_gradient and runs this ONCE per backward."""
+    leaves, _ = leaf_table(static)
+    best = jnp.full(win.shape, INF)
+    gleaf = jnp.zeros(win.shape, jnp.int32)
+    sel = jnp.zeros(win.shape, jnp.int32)
+    space = {}
+    for g, (i, kind, k) in enumerate(leaves):
+        if i not in space:
+            space[i] = _node_space(packed, static, i, orig, dir)
+        o_l, d_l, inv_dl, _ = space[i]
+        for t_loc, s in _leaf_candidates(packed, kind, k, o_l, d_l):
+            t_w = t_loc if inv_dl is None else jnp.where(t_loc >= INF, INF, t_loc * inv_dl)
+            err = jnp.where(win == i, jnp.abs(t_w - t_pin), INF)
+            better = err < best
+            best = jnp.where(better, err, best)
+            gleaf = jnp.where(better, g, gleaf)
+            sel = jnp.where(better, s, sel)
+    return gleaf, sel
+
+
+def leaf_pinned_record(packed, static, orig, dir, gleaf, sel, n_pin):
+    """Differentiable winning-hit record reconstructed from the pinned
+    (leaf, solution) ids: the closed form of ONE primitive per ray,
+    where-selected across the static leaf list.  O(leaves) simple closed
+    forms — no CSG interval walks, no all-hits sort networks, which
+    _pinned_record (the O(nodes) full-scan fallback) pays in both the
+    primal and the transpose.  Gradient-equivalent to the XLA VJP: the
+    running-min/parity selects it skips are piecewise-constant.
+
+    The CsgDiff eaten-surface normal flip (geometry.d:377-397) is
+    recovered by sign-matching against the kernel's saved raw normal
+    ``n_pin`` — piecewise-constant (computed on stop_gradient values)."""
+    leaves, _ = leaf_table(static)
+    rec = None
+    space = {}
+    for g, (i, kind, k) in enumerate(leaves):
+        if i not in space:
+            space[i] = _node_space(packed, static, i, orig, dir)
+        o_l, d_l, inv_dl, m_inv = space[i]
+        if kind == "plane":
+            cand = G.plane_closest(packed.plane_y[k], packed.plane_limit[k], o_l, d_l)
+        elif kind == "sphere":
+            c, r = packed.sphere_center[k], packed.sphere_r[k]
+            has, x1, x2 = G._sphere_roots(c, r, o_l, d_l)
+            t = jnp.where(sel == 1, x1, x2)
+            ok = has & (t >= 0)
+            cand = G._sphere_record(c, r, o_l, d_l, jnp.where(ok, t, 0.0))
+            cand["dist"] = jnp.where(ok, t, INF)
+        else:  # cube: static face select by the pinned face id
+            faces = G._cube_face_candidates(packed.cube_center[k], packed.cube_side[k], o_l, d_l)
+            cand = {
+                "dist": faces["dist"][..., 0],
+                "normal": faces["normal"][..., 0, :],
+                "u": faces["u"][..., 0],
+                "v": faces["v"][..., 0],
+            }
+            for fi in range(1, 6):
+                m = sel == fi
+                mv = m[..., None]
+                cand = {
+                    "dist": jnp.where(m, faces["dist"][..., fi], cand["dist"]),
+                    "normal": jnp.where(mv, faces["normal"][..., fi, :], cand["normal"]),
+                    "u": jnp.where(m, faces["u"][..., fi], cand["u"]),
+                    "v": jnp.where(m, faces["v"][..., fi], cand["v"]),
+                }
+        if inv_dl is not None:
+            miss = cand["dist"] >= INF
+            cand["dist"] = jnp.where(miss, INF, cand["dist"] * inv_dl)
+            cand["normal"] = _norm(cand["normal"] @ m_inv.T)
+        m = gleaf == g
+        mv = m[..., None]
+        if rec is None:
+            rec = {key: cand[key] for key in ("dist", "normal", "u", "v")}
+        else:
+            rec = {
+                "dist": jnp.where(m, cand["dist"], rec["dist"]),
+                "normal": jnp.where(mv, cand["normal"], rec["normal"]),
+                "u": jnp.where(m, cand["u"], rec["u"]),
+                "v": jnp.where(m, cand["v"], rec["v"]),
+            }
+    flip = jnp.where(dot(n_pin, jax.lax.stop_gradient(rec["normal"])) < 0, -1.0, 1.0)
+    rec["normal"] = rec["normal"] * flip[..., None]
+    return rec
 
 
 def _pinned_record(packed, static, orig, dir, win):
@@ -126,11 +260,25 @@ def _diffuse_nobitmap(packed, static, winc, u, v, onehot):
     return out
 
 
-def reshade(packed: ScenePacked, static: SceneStatic, orig, dir, win, vis_list, want_hit=False):
+def reshade(
+    packed: ScenePacked,
+    static: SceneStatic,
+    orig,
+    dir,
+    win,
+    vis_list,
+    want_hit=False,
+    rec_pins=None,
+):
     """Differentiable XLA recompute of the round-0 kernel's float outputs
     given pinned (win, vis).  Input/output contract mirrors
     build_round0_kernel: returns the same keys minus ``win`` and the vis
-    residuals.  ``vis_list`` holds one boolean [N] mask per light."""
+    residuals.  ``vis_list`` holds one boolean [N] mask per light.
+
+    ``rec_pins`` = (gleaf, sel, n_pin) switches the winning-record
+    recompute from the O(nodes) full scan (_pinned_record) to the
+    leaf-pinned closed form (leaf_pinned_record) — same gradients, no CSG
+    re-walk."""
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
     has_refl = REFLECTION in static.shader_kinds_present
     has_refr = REFRACTION in static.shader_kinds_present
@@ -141,7 +289,10 @@ def reshade(packed: ScenePacked, static: SceneStatic, orig, dir, win, vis_list, 
     hitmask = win >= 0
     winc = jnp.maximum(win, 0)
     onehot = S.node_onehot(static, winc)
-    rec = _pinned_record(packed, static, orig, dir, win)
+    if rec_pins is not None:
+        rec = leaf_pinned_record(packed, static, orig, dir, *rec_pins)
+    else:
+        rec = _pinned_record(packed, static, orig, dir, win)
 
     # world hit point from the winning t.  Dead lanes AND knife-edge lanes
     # where the kernel reported a hit the XLA recompute just misses
@@ -273,6 +424,7 @@ def build_diff_round0(
     interpret: bool = False,
     n_rays: int = None,
     want_hit: bool = False,
+    pin_mode: str = "leaf",
 ):
     """A differentiable drop-in for ``build_round0_kernel``:
 
@@ -284,20 +436,58 @@ def build_diff_round0(
 
     The primal call runs the plain kernel (identical cost to the
     forward-only path); only under differentiation does the fwd pass pay
-    for the extra ``want_vis`` residual outputs."""
+    for the extra ``want_vis``/``want_hit`` residual outputs.
+
+    ``pin_mode``: "leaf" (default) saves the winning t/normal as extra
+    kernel residuals and reconstructs the winning record from closed-form
+    leaf solutions in the backward; "node" re-scans every node's full
+    intersection (the round-2 behavior, kept for A/B tests)."""
     ray_input = n_rays is not None
+    leaf_pins = pin_mode == "leaf" and len(leaf_table(static)[0]) > 0
     kern_plain = build_round0_kernel(
         static, width, height, interpret, n_rays=n_rays, want_hit=want_hit
     )
     kern_resid = build_round0_kernel(
-        static, width, height, interpret, n_rays=n_rays, want_hit=want_hit, want_vis=True
+        static,
+        width,
+        height,
+        interpret,
+        n_rays=n_rays,
+        want_hit=want_hit or leaf_pins,
+        want_vis=True,
     )
+
+    # the primal output keys of kern_plain (build_round0_kernel's name
+    # assembly) — the residual kernel's extra outputs must be stripped
+    # before returning from f_fwd (custom_vjp: fwd primal == f primal)
+    has_bitmap = TEX_BITMAP in static.tex_kinds_present
+    has_cont = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
+    primal_names = ["r", "g", "b", "win"]
+    if has_bitmap or want_hit:
+        primal_names += ["lr", "lg", "lb", "u", "v"]
+    if has_cont:
+        primal_names += ["rox", "roy", "roz", "rdx", "rdy", "rdz"]
+    if want_hit:
+        primal_names += ["t", "nx", "ny", "nz", "dr", "dg", "db"]
     vis_names = [f"vis{li}" for li in range(static.n_lights)]
 
     def _split(o):
         vis = [o[k] > 0.5 for k in vis_names]
-        basic = {k: v for k, v in o.items() if k not in vis_names}
-        return basic, vis
+        basic = {k: o[k] for k in primal_names}
+        if leaf_pins:
+            t_pin = o["t"]
+            n_pin = jnp.stack([o["nx"], o["ny"], o["nz"]], axis=-1)
+        else:
+            t_pin = n_pin = None
+        return basic, vis, t_pin, n_pin
+
+    def _pins(packed, orig, dir, win, t_pin, n_pin):
+        """Stop-gradient leaf-pin identification (None in node mode)."""
+        if not leaf_pins:
+            return None
+        sg = jax.lax.stop_gradient
+        gleaf, sel = compute_leaf_pins(sg(packed), static, sg(orig), sg(dir), win, t_pin)
+        return (gleaf, sel, n_pin)
 
     def _vjp_through(g, fn, *primals):
         # g carries float0 for the int win output; reshade emits only the
@@ -313,14 +503,15 @@ def build_diff_round0(
             return kern_plain(packed, orig, dir)
 
         def f_fwd(packed, orig, dir):
-            basic, vis = _split(kern_resid(packed, orig, dir))
-            return basic, (packed, orig, dir, basic["win"], vis)
+            basic, vis, t_pin, n_pin = _split(kern_resid(packed, orig, dir))
+            return basic, (packed, orig, dir, basic["win"], vis, t_pin, n_pin)
 
         def f_bwd(res, g):
-            packed, orig, dir, win, vis = res
+            packed, orig, dir, win, vis, t_pin, n_pin = res
+            rp = _pins(packed, orig, dir, win, t_pin, n_pin)
 
             def rf(p, o3, d3):
-                return reshade(p, static, o3, d3, win, vis, want_hit=want_hit)
+                return reshade(p, static, o3, d3, win, vis, want_hit=want_hit, rec_pins=rp)
 
             return _vjp_through(g, rf, packed, orig, dir)
 
@@ -336,15 +527,18 @@ def build_diff_round0(
         return kern_plain(packed, aa)
 
     def f_fwd(packed, aa):
-        basic, vis = _split(kern_resid(packed, aa))
-        return basic, (packed, aa, basic["win"], vis)
+        basic, vis, t_pin, n_pin = _split(kern_resid(packed, aa))
+        return basic, (packed, aa, basic["win"], vis, t_pin, n_pin)
 
     def f_bwd(res, g):
-        packed, aa, win, vis = res
+        packed, aa, win, vis, t_pin, n_pin = res
+        sg = jax.lax.stop_gradient
+        so, sd = _gen_rays(sg(packed), width, height, sg(aa))
+        rp = _pins(packed, so, sd, win, t_pin, n_pin)
 
         def rf(p, a):
             orig, dir = _gen_rays(p, width, height, a)
-            return reshade(p, static, orig, dir, win, vis, want_hit=want_hit)
+            return reshade(p, static, orig, dir, win, vis, want_hit=want_hit, rec_pins=rp)
 
         return _vjp_through(g, rf, packed, aa)
 

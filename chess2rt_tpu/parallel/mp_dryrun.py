@@ -1,0 +1,166 @@
+"""Real multi-process ``jax.distributed`` bring-up exercise (SURVEY.md §5.8).
+
+The pod story (parallel/distributed.py) is normally validated on a virtual
+in-process mesh; this module exercises the ACTUAL process bring-up path on
+CPU: N OS processes, a TCP coordinator, ``jax.distributed.initialize``, a
+global mesh spanning both processes, and one sharded value_and_grad step
+whose (loss, grads) must match the in-process mesh result — the
+per-shard-gradient psum makes the math shard-count independent, so any
+mesh layout must agree to fp-reduction order.
+
+Two entry points:
+
+* ``python -m chess2rt_tpu.parallel.mp_dryrun --process-id I ...`` — one
+  worker process (run by the launcher, one per rank);
+* ``run_multiprocess_dryrun(...)`` — spawns the workers with a fresh TCP
+  port, waits, and returns process 0's saved (loss, grads) for the caller
+  to compare (used by __graft_entry__.dryrun_multichip and
+  tests/test_parallel.py).
+
+Reference counterpart: none — the reference is a single OS process with a
+thread pool (renderer.d:133-136); multi-host startup is the TPU-native
+replacement (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+SCENE = "/root/reference/data/lecture5.sdl"
+
+
+def _build(width: int, height: int):
+    import jax.numpy as jnp
+
+    from ..models.packed import pack_scene
+    from ..scene.loader import parse_scene_from_file
+
+    sc = parse_scene_from_file(SCENE)
+    sc.settings.frameWidth, sc.settings.frameHeight = width, height
+    sc.camera.set_frame_size(width, height)
+    sc.settings.AAEnabled = False
+    return pack_scene(sc, dtype=jnp.float32)
+
+
+def worker_main(argv=None) -> None:
+    """One rank of the multi-process dryrun: bring up jax.distributed,
+    build the global mesh, run ONE sharded grad step, rank 0 saves the
+    result."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--width", type=int, required=True)
+    ap.add_argument("--height", type=int, required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    # the axon sitecustomize forces jax_platforms at interpreter start; the
+    # config update (not the env var) is what actually selects CPU here
+    jax.config.update("jax_platforms", "cpu")
+
+    from .distributed import initialize_distributed
+    from .mesh import make_mesh, make_sharded_value_and_grad
+
+    info = initialize_distributed(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    assert info["process_count"] == args.num_processes, info
+    assert info["global_devices"] >= args.num_processes, info
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    packed, static = _build(args.width, args.height)
+    mesh = make_mesh()  # global: spans every process's devices
+    vg = make_sharded_value_and_grad(static, mesh)
+    target = jnp.zeros((static.height, static.width, 3), dtype=jnp.float32)
+    loss, grads = vg(packed, target, jax.random.PRNGKey(0))
+
+    if jax.process_index() == 0:
+        leaves = jax.tree.leaves(grads)
+        np.savez(
+            args.out,
+            loss=np.asarray(loss),
+            n_leaves=len(leaves),
+            **{f"g{i}": np.asarray(l) for i, l in enumerate(leaves)},
+        )
+    # all ranks block until rank 0 has written (coordinator shutdown is
+    # collective; exiting early can abort the save on slow filesystems)
+    jax.effects_barrier()
+
+
+def run_multiprocess_dryrun(num_processes: int = 2, width: int = 17, height: int = 3, timeout: int = 600):
+    """Spawn ``num_processes`` worker ranks with a TCP coordinator on a
+    fresh port; returns (loss: float, grad_leaves: list[np.ndarray]) from
+    rank 0.  Raises on any rank failure (stderr attached)."""
+    import numpy as np
+
+    with socket.socket() as s:  # reserve a free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coordinator = f"localhost:{port}"
+
+    out = os.path.join(tempfile.mkdtemp(prefix="c2rt_mp_"), "rank0.npz")
+    env = dict(os.environ)
+    # one CPU device per rank; PYTHONPATH must keep the axon site dir
+    # (replacing it breaks TPU plugin registration for any child that
+    # touches it) — we inherit and only override the device count
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    procs = []
+    for rank in range(num_processes):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    "-m",
+                    "chess2rt_tpu.parallel.mp_dryrun",
+                    "--coordinator",
+                    coordinator,
+                    "--num-processes",
+                    str(num_processes),
+                    "--process-id",
+                    str(rank),
+                    "--width",
+                    str(width),
+                    "--height",
+                    str(height),
+                    "--out",
+                    out,
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    errs = []
+    for rank, pr in enumerate(procs):
+        try:
+            _, stderr = pr.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for p2 in procs:
+                p2.kill()
+            raise RuntimeError(f"mp_dryrun rank {rank} timed out after {timeout}s")
+        if pr.returncode != 0:
+            errs.append(f"rank {rank} rc={pr.returncode}:\n{stderr[-2000:]}")
+    if errs:
+        raise RuntimeError("mp_dryrun worker failure:\n" + "\n".join(errs))
+
+    data = np.load(out)
+    leaves = [data[f"g{i}"] for i in range(int(data["n_leaves"]))]
+    return float(data["loss"]), leaves
+
+
+if __name__ == "__main__":
+    worker_main()

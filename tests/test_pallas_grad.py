@@ -170,6 +170,62 @@ class TestWhittedGrads:
         _compare(g_p, g_x, leaves=("mat_color", "checker_c1", "checker_c2", "plane_y", "light_power"))
 
 
+class TestLeafPins:
+    def test_leaf_vs_node_pin_grads(self, data_dir):
+        """The leaf-pinned backward (closed-form winning-leaf reconstruction
+        from matched t/normal residuals) must produce the SAME gradients as
+        the node-pinned full re-scan — both differentiate the identical
+        winning-branch closed form, just reconstructed differently.  The
+        flagship scene exercises every pin case: CSG diff (parity-walk win +
+        eaten-surface normal flip), matrix transforms (dist rescale), cube
+        faces, both sphere roots, plane."""
+        from chess2rt_tpu.ops.pallas_grad import build_diff_round0
+
+        packed, static = _flagship(data_dir, w=48, h=32)
+
+        def make_loss(mode):
+            kern = build_diff_round0(static, 48, 32, interpret=True, pin_mode=mode)
+
+            def loss(p):
+                o = kern(p, (0.0, 0.0))
+                return sum((v**2).mean() for k, v in o.items() if k != "win")
+
+            return loss
+
+        g_leaf = jax.grad(make_loss("leaf"))(packed)
+        g_node = jax.grad(make_loss("node"))(packed)
+        compared = 0
+        for name in CHECK_LEAVES:
+            a = np.asarray(getattr(g_leaf, name))
+            b = np.asarray(getattr(g_node, name))
+            if a.size == 0:
+                continue
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4 * scale, err_msg=name)
+            if np.abs(b).any():
+                compared += 1
+        assert compared >= 4
+
+    def test_leaf_pins_identify_winners(self, data_dir):
+        """compute_leaf_pins recovers a leaf belonging to the winning node
+        with a closed-form t matching the kernel's winning distance."""
+        from chess2rt_tpu.models.packed import leaf_table
+        from chess2rt_tpu.ops.pallas_grad import _gen_rays, compute_leaf_pins
+        from chess2rt_tpu.ops.pallas_trace import build_round0_kernel
+
+        packed, static = _flagship(data_dir, w=48, h=32)
+        kern = build_round0_kernel(static, 48, 32, interpret=True, want_hit=True)
+        o = kern(packed, (0.0, 0.0))
+        orig, dir = _gen_rays(packed, 48, 32, jnp.zeros(2))
+        gleaf, sel = compute_leaf_pins(packed, static, orig, dir, o["win"], o["t"])
+        leaves, _ = leaf_table(static)
+        owner = np.asarray([lf[0] for lf in leaves], np.int32)
+        win = np.asarray(o["win"])
+        hit = win >= 0
+        assert hit.any()
+        assert (owner[np.asarray(gleaf)][hit] == win[hit]).all()
+
+
 class TestGIGrads:
     def test_gi_grads_match_xla(self, data_dir):
         sc = parse_scene_from_file(str(data_dir / "lecture4.sdl"))

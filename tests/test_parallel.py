@@ -163,3 +163,27 @@ class TestCheckpointRestart:
         for s in range(1, 3):
             rp, ro, rl = step(rp, ro, jax.random.fold_in(key, s))
             assert float(rl) == losses[s], (s, float(rl), losses[s])
+
+
+class TestMultiProcess:
+    def test_two_process_bringup_matches_in_process(self):
+        """REAL jax.distributed bring-up (SURVEY.md §5.8): 2 OS processes +
+        TCP coordinator, a global mesh spanning both, one sharded grad
+        step — loss and every gradient leaf must match the in-process
+        2-device mesh result (per-shard-grad psum => shard-count
+        independent math)."""
+        from chess2rt_tpu.parallel.mp_dryrun import _build, run_multiprocess_dryrun
+
+        w, h = 17, 3
+        packed, static = _build(w, h)
+        mesh = make_mesh(jax.devices()[:2])
+        vg = make_sharded_value_and_grad(static, mesh)
+        target = jnp.zeros((h, w, 3), jnp.float32)
+        loss, grads = vg(packed, target, jax.random.PRNGKey(0))
+
+        mp_loss, mp_leaves = run_multiprocess_dryrun(2, width=w, height=h)
+        np.testing.assert_allclose(mp_loss, float(loss), rtol=1e-5)
+        ref = jax.tree.leaves(grads)
+        assert len(mp_leaves) == len(ref)
+        for a, b in zip(mp_leaves, ref):
+            np.testing.assert_allclose(a, np.asarray(b), rtol=1e-4, atol=1e-6)
