@@ -97,6 +97,12 @@ class ScenePacked:
     bitmap_atlas: Any
     bitmap_hw: Any  # [Tb, 2] float (h, w) — float so UV scaling stays traced
 
+    # bump-map extension (models/types.BumpTexture): differentiated
+    # derivative maps [Tp, Hmax, Wmax, 3] + per-node scaling/strength
+    bump_atlas: Any
+    bump_scaling: Any  # [Nn]
+    bump_strength: Any  # [Nn]
+
     # environment cubemap [6, S, S, 3] (zeros-shaped [0,1,1,3] when absent)
     env_cubemap: Any
 
@@ -116,6 +122,7 @@ class NodeStatic:
     bitmap_idx: int  # row in the atlas (-1 if not a bitmap texture)
     identity_transform: bool
     offset_only: bool
+    bump_idx: int = -1  # row in the bump atlas (-1 = no bump map)
 
 
 @dataclass(frozen=True)
@@ -130,6 +137,8 @@ class SceneStatic:
     # true (h, w) per bitmap atlas row — static so the in-graph quad
     # construction (ops/shade.py) can wrap at real texture edges
     bitmap_sizes: Tuple[Tuple[int, int], ...] = ()
+    # true (h, w) per bump atlas row (BumpTexture extension)
+    bump_sizes: Tuple[Tuple[int, int], ...] = ()
     max_trace_depth: int = 4
     aa_enabled: bool = True
     dof: bool = False
@@ -179,6 +188,10 @@ class SceneStatic:
     @property
     def shader_kinds_present(self):
         return frozenset(n.shader_kind for n in self.nodes)
+
+    @property
+    def has_bump(self) -> bool:
+        return any(n.bump_idx >= 0 for n in self.nodes)
 
     @property
     def inf_dist(self) -> float:
@@ -282,9 +295,13 @@ def pack_scene(scene: T.Scene, dtype=jnp.float32) -> Tuple[ScenePacked, SceneSta
     proc2_fu = np.zeros((nn, 3), dtype=np.float32)
     proc2_fv = np.zeros((nn, 3), dtype=np.float32)
     bitmap_scaling = np.ones(nn, dtype=np.float32)
+    bump_scaling = np.ones(nn, dtype=np.float32)
+    bump_strength = np.zeros(nn, dtype=np.float32)
 
     bitmaps = []  # unique BitmapTexture.data arrays
     bitmap_ids = {}
+    bumps = []  # unique differentiated BumpTexture derivative maps
+    bump_ids = {}
 
     for i, node in enumerate(scene.nodes):
         expr = _geom_expr(node.geometry, tables)
@@ -325,6 +342,21 @@ def pack_scene(scene: T.Scene, dtype=jnp.float32) -> Tuple[ScenePacked, SceneSta
             bidx = bitmap_ids[key]
             bitmap_scaling[i] = tex.scaling
 
+        # bump-map extension: only the BumpTexture subclass perturbs
+        # normals (the reference's modifyNormal hook is a no-op for every
+        # other texture kind — texture.d:10-12)
+        pidx = -1
+        if isinstance(node.bumpmap, T.BumpTexture):
+            from ..imageio import differentiate
+
+            key = id(node.bumpmap)
+            if key not in bump_ids:
+                bump_ids[key] = len(bumps)
+                bumps.append(differentiate(np.asarray(node.bumpmap.data, dtype=np.float32)))
+            pidx = bump_ids[key]
+            bump_scaling[i] = node.bumpmap.scaling
+            bump_strength[i] = node.bumpmap.strength
+
         node_static.append(
             NodeStatic(
                 geom=expr,
@@ -333,6 +365,7 @@ def pack_scene(scene: T.Scene, dtype=jnp.float32) -> Tuple[ScenePacked, SceneSta
                 bitmap_idx=bidx,
                 identity_transform=ident,
                 offset_only=offset_only,
+                bump_idx=pidx,
             )
         )
 
@@ -348,6 +381,15 @@ def pack_scene(scene: T.Scene, dtype=jnp.float32) -> Tuple[ScenePacked, SceneSta
     else:
         atlas = np.zeros((0, 1, 1, 3), dtype=np.float32)
         hw = np.zeros((0, 2), dtype=np.float32)
+
+    if bumps:
+        phmax = max(b.shape[0] for b in bumps)
+        pwmax = max(b.shape[1] for b in bumps)
+        bump_atlas = np.zeros((len(bumps), phmax, pwmax, 3), dtype=np.float32)
+        for j, b in enumerate(bumps):
+            bump_atlas[j, : b.shape[0], : b.shape[1]] = b
+    else:
+        bump_atlas = np.zeros((0, 1, 1, 3), dtype=np.float32)
 
     lights = scene.lights
     cam = scene.camera
@@ -380,6 +422,9 @@ def pack_scene(scene: T.Scene, dtype=jnp.float32) -> Tuple[ScenePacked, SceneSta
         bitmap_scaling=f(bitmap_scaling),
         bitmap_atlas=f(atlas),
         bitmap_hw=f(hw),
+        bump_atlas=f(bump_atlas),
+        bump_scaling=f(bump_scaling),
+        bump_strength=f(bump_strength),
         env_cubemap=f(
             scene.environment.cubemap
             if scene.environment.cubemap is not None
@@ -405,6 +450,7 @@ def pack_scene(scene: T.Scene, dtype=jnp.float32) -> Tuple[ScenePacked, SceneSta
         height=s.frameHeight,
         has_env=scene.environment.cubemap is not None,
         bitmap_sizes=tuple((b.shape[0], b.shape[1]) for b in bitmaps),
+        bump_sizes=tuple((b.shape[0], b.shape[1]) for b in bumps),
         max_trace_depth=s.maxTraceDepth,
         aa_enabled=s.AAEnabled,
         dof=cam.dof,

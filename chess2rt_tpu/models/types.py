@@ -241,6 +241,27 @@ class BitmapTexture(Texture):
     data: Optional[np.ndarray] = None
 
 
+@dataclass
+class BumpTexture(BitmapTexture):
+    """EXTENSION: a bitmap used as a height/derivative map via a node's
+    ``bump`` property.  The reference stages the machinery — tangent
+    frames in every intersect (intersectable.d:24-25), the
+    Texture.modifyNormal hook (texture.d:10-12), Bitmap.differentiate
+    (bitmap.d:139-154), Node.bumpmap parsing (node.d:72-81) — but never
+    implements a concrete bump texture (no getTexColor override calls
+    modifyNormal anywhere), so a reference scene with ``bump`` renders
+    unperturbed.  This class completes the staged feature:
+
+        (dx, dy) = bilinear sample of imageio.differentiate(texels)
+                   at (u*scaling, v*scaling), wrap like getTexColor
+        normal'  = normalize(normal + (dNdx*dx + dNdy*dy) * strength)
+
+    applied at the renderer.d:370-372 hook site (Whitted raytrace only,
+    like the reference's call site)."""
+
+    strength: float = 20.0
+
+
 # --------------------------------------------------------------------------
 # Shaders
 # --------------------------------------------------------------------------

@@ -48,8 +48,16 @@ def dot(a, b):
 # --------------------------------------------------------------------------
 
 
-def plane_closest(y, limit, orig, dir):
-    """Plane candidate.  Returns a hit dict with dist=INF on miss."""
+def _const_vec(like, xyz):
+    return jnp.broadcast_to(jnp.asarray(xyz, like.dtype), like.shape)
+
+
+def plane_closest(y, limit, orig, dir, tangents=False):
+    """Plane candidate.  Returns a hit dict with dist=INF on miss.
+
+    ``tangents`` adds the dNdx/dNdy tangent frame (intersectable.d:24-25,
+    geometry.d:52-53) — consumed only by the bump-map extension, so hot
+    paths skip it."""
     oy, dy = orig[..., 1], dir[..., 1]
     miss = ((oy > y) & (dy > -1e-9)) | ((oy < y) & (dy < 1e-9))
     # guarded reciprocal: dy == 0 lanes are all misses (or the measure-zero
@@ -60,7 +68,11 @@ def plane_closest(y, limit, orig, dir):
     ok = ~miss & nonzero & (jnp.abs(p[..., 0]) <= limit) & (jnp.abs(p[..., 2]) <= limit)
     dist = jnp.where(ok, mult, INF)
     n = jnp.zeros_like(p).at[..., 1].set(1.0)
-    return {"dist": dist, "p": p, "normal": n, "u": p[..., 0], "v": p[..., 2]}
+    rec = {"dist": dist, "p": p, "normal": n, "u": p[..., 0], "v": p[..., 2]}
+    if tangents:
+        rec["dndx"] = _const_vec(p, (1.0, 0.0, 0.0))
+        rec["dndy"] = _const_vec(p, (0.0, 0.0, 1.0))
+    return rec
 
 
 @jax.custom_jvp
@@ -92,14 +104,39 @@ def _safe_arctan2_jvp(primals, tangents):
     return jnp.arctan2(y, x), (x * ty - y * tx) / denom
 
 
-def _sphere_record(center, r, orig, dir, t):
+def _sphere_record(center, r, orig, dir, t, tangents=False):
     p = orig + dir * t[..., None]
     rel = p - center
     normal = _norm(rel)
     angle = _safe_arctan2(rel[..., 2], rel[..., 0])
     u = (jnp.pi + angle) / (2 * jnp.pi)
     v = 1.0 - (jnp.pi / 2 + _safe_arcsin(jnp.clip(rel[..., 1] / r, -1.0, 1.0))) / jnp.pi
-    return {"p": p, "normal": normal, "u": u, "v": v}
+    rec = {"p": p, "normal": normal, "u": u, "v": v}
+    if tangents:
+        # geometry.d:121-122: dNdx from the azimuth, dNdy = dNdx x normal
+        dndx = jnp.stack(
+            [jnp.cos(angle + jnp.pi / 2), jnp.zeros_like(angle), jnp.sin(angle + jnp.pi / 2)],
+            axis=-1,
+        )
+        rec["dndx"] = dndx
+        rec["dndy"] = jnp.cross(dndx, normal)
+    return rec
+
+
+@jax.custom_jvp
+def _safe_sqrt(x):
+    return jnp.sqrt(x)
+
+
+@_safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    # sqrt' = 1/(2 sqrt(x)) is infinite at x = 0: a ray exactly grazing a
+    # sphere (discriminant 0 — fp-real on TPU, where the fused kernel's
+    # Mosaic arithmetic can report a hit the XLA backward recompute sees
+    # at D <= 0) poisons sphere/offset/camera gradients with inf.  Forward
+    # stays exact; the derivative is clamped like _safe_arcsin's.
+    (x,), (t,) = primals, tangents
+    return jnp.sqrt(x), t * 0.5 * jax.lax.rsqrt(jnp.maximum(x, 1e-8))
 
 
 def _sphere_roots(center, r, orig, dir):
@@ -109,18 +146,18 @@ def _sphere_roots(center, r, orig, dir):
     C = dot(H, H) - r * r
     Dscr = B * B - 4.0 * A * C
     has = Dscr >= 0
-    sq = jnp.sqrt(jnp.where(has, Dscr, 0.0))
+    sq = _safe_sqrt(jnp.where(has, Dscr, 0.0))
     x1 = (-B + sq) / (2.0 * A)
     x2 = (-B - sq) / (2.0 * A)
     return has, x1, x2
 
 
-def sphere_closest(center, r, orig, dir):
+def sphere_closest(center, r, orig, dir, tangents=False):
     has, x1, x2 = _sphere_roots(center, r, orig, dir)
     sol = jnp.where(x2 < 0, x1, x2)  # nearer root unless behind us (geometry.d:104-108)
     ok = has & (sol >= 0)
     dist = jnp.where(ok, sol, INF)
-    rec = _sphere_record(center, r, orig, dir, jnp.where(ok, sol, 0.0))
+    rec = _sphere_record(center, r, orig, dir, jnp.where(ok, sol, 0.0), tangents)
     rec["dist"] = dist
     return rec
 
@@ -136,10 +173,16 @@ _CUBE_FACES = (
 )
 
 
-def _cube_face_candidates(center, side, orig, dir):
-    """Per-face candidate (dist, normal, u, v) for all 6 faces -> [N, 6, ...]."""
+def _cube_face_candidates(center, side, orig, dir, tangents=False):
+    """Per-face candidate (dist, normal, u, v) for all 6 faces -> [N, 6, ...].
+
+    Tangent-frame quirk preserved (geometry.d:178-191, :227-228): the
+    reference unprojects normal and p after the axis-permuted side tests
+    but NOT dNdx/dNdy, so every face keeps the projected-space literals
+    dNdx = (1, 0, 0), dNdy = (0, 0, face_sign)."""
     half = side * 0.5
     dists, normals, us, vs, ps = [], [], [], [], []
+    dndys = []
     for axis, s, ua, va in _CUBE_FACES:
         d_k = dir[..., axis]
         o_k = orig[..., axis]
@@ -161,36 +204,38 @@ def _cube_face_candidates(center, side, orig, dir):
         us.append(p[..., ua] - center[..., ua])
         vs.append(p[..., va] - center[..., va])
         ps.append(p)
+        if tangents:
+            dndys.append(_const_vec(p, (0.0, 0.0, s)))
     stack = lambda xs, ax=-1: jnp.stack(xs, axis=ax)  # noqa: E731
-    return {
+    out = {
         "dist": stack(dists),  # [N, 6]
         "normal": stack(normals, -2),  # [N, 6, 3]
         "u": stack(us),
         "v": stack(vs),
         "p": stack(ps, -2),
     }
+    if tangents:
+        out["dndx"] = jnp.broadcast_to(
+            jnp.asarray((1.0, 0.0, 0.0), orig.dtype), out["normal"].shape
+        )
+        out["dndy"] = stack(dndys, -2)
+    return out
 
 
-def cube_closest(center, side, orig, dir):
+def cube_closest(center, side, orig, dir, tangents=False):
     """Running-min select over the 6 faces (argmin + gather is slow on TPU)."""
-    faces = _cube_face_candidates(center, side, orig, dir)
-    best = {
-        "dist": faces["dist"][..., 0],
-        "normal": faces["normal"][..., 0, :],
-        "u": faces["u"][..., 0],
-        "v": faces["v"][..., 0],
-        "p": faces["p"][..., 0, :],
-    }
+    faces = _cube_face_candidates(center, side, orig, dir, tangents)
+    vec_keys = ("normal", "p", "dndx", "dndy") if tangents else ("normal", "p")
+    scal_keys = ("dist", "u", "v")
+    best = {k: faces[k][..., 0] for k in scal_keys}
+    best.update({k: faces[k][..., 0, :] for k in vec_keys})
     for i in range(1, 6):
         better = faces["dist"][..., i] < best["dist"]
         bv = better[..., None]
-        best = {
-            "dist": jnp.where(better, faces["dist"][..., i], best["dist"]),
-            "normal": jnp.where(bv, faces["normal"][..., i, :], best["normal"]),
-            "u": jnp.where(better, faces["u"][..., i], best["u"]),
-            "v": jnp.where(better, faces["v"][..., i], best["v"]),
-            "p": jnp.where(bv, faces["p"][..., i, :], best["p"]),
-        }
+        for k in scal_keys:
+            best[k] = jnp.where(better, faces[k][..., i], best[k])
+        for k in vec_keys:
+            best[k] = jnp.where(bv, faces[k][..., i, :], best[k])
     return best
 
 
@@ -262,38 +307,39 @@ def _sort_hits(hits, extra=None):
     return {k: out[k] for k in hits}, None
 
 
-def plane_all_hits(y, limit, orig, dir):
-    c = plane_closest(y, limit, orig, dir)
-    return {k: v[..., None] if k != "normal" and k != "p" else v[..., None, :] for k, v in c.items()}
+def _vec_keys(hits):
+    """Hit-set fields carrying [..., 3] vectors (vs per-hit scalars)."""
+    return tuple(k for k in hits if k in ("p", "normal", "dndx", "dndy"))
 
 
-def sphere_all_hits(center, r, orig, dir):
+def plane_all_hits(y, limit, orig, dir, tangents=False):
+    c = plane_closest(y, limit, orig, dir, tangents)
+    vk = _vec_keys(c)
+    return {k: v[..., None, :] if k in vk else v[..., None] for k, v in c.items()}
+
+
+def sphere_all_hits(center, r, orig, dir, tangents=False):
     """Both quadratic roots with t >= 0, ascending (= what the re-cast loop
     enumerates, geometry.d:271-290)."""
     has, x1, x2 = _sphere_roots(center, r, orig, dir)  # x2 <= x1
     ok2 = has & (x2 >= 0)
     ok1 = has & (x1 >= 0)
     d = jnp.stack([jnp.where(ok2, x2, INF), jnp.where(ok1, x1, INF)], axis=-1)
-    recs = [_sphere_record(center, r, orig, dir, t) for t in (x2, x1)]
-    return {
-        "dist": d,
-        "p": jnp.stack([rc["p"] for rc in recs], axis=-2),
-        "normal": jnp.stack([rc["normal"] for rc in recs], axis=-2),
-        "u": jnp.stack([rc["u"] for rc in recs], axis=-1),
-        "v": jnp.stack([rc["v"] for rc in recs], axis=-1),
-    }
+    recs = [_sphere_record(center, r, orig, dir, t, tangents) for t in (x2, x1)]
+    out = {"dist": d}
+    for k in recs[0]:
+        ax = -2 if k in ("p", "normal", "dndx", "dndy") else -1
+        out[k] = jnp.stack([rc[k] for rc in recs], axis=ax)
+    return out
 
 
-def cube_all_hits(center, side, orig, dir):
+def cube_all_hits(center, side, orig, dir, tangents=False):
     """The (<= 2) valid face crossings, ascending."""
-    faces = _cube_face_candidates(center, side, orig, dir)
+    faces = _cube_face_candidates(center, side, orig, dir, tangents)
     sorted_faces, _ = _sort_hits(faces)
+    vk = _vec_keys(sorted_faces)
     return {
-        "dist": sorted_faces["dist"][..., :2],
-        "p": sorted_faces["p"][..., :2, :],
-        "normal": sorted_faces["normal"][..., :2, :],
-        "u": sorted_faces["u"][..., :2],
-        "v": sorted_faces["v"][..., :2],
+        k: (v[..., :2, :] if k in vk else v[..., :2]) for k, v in sorted_faces.items()
     }
 
 
@@ -332,7 +378,7 @@ def _bool_op(op, il, ir):
 # --------------------------------------------------------------------------
 
 
-def all_hits_expr(packed: ScenePacked, expr, orig, dir):
+def all_hits_expr(packed: ScenePacked, expr, orig, dir, tangents=False):
     """All boundary crossings of the solid described by ``expr`` along the
     ray, as a sorted fixed-capacity hit set.
 
@@ -342,23 +388,20 @@ def all_hits_expr(packed: ScenePacked, expr, orig, dir):
     292-332 and the derivation in this module's docstring)."""
     kind = expr[0]
     if kind == "plane":
-        return plane_all_hits(packed.plane_y[expr[1]], packed.plane_limit[expr[1]], orig, dir)
+        return plane_all_hits(packed.plane_y[expr[1]], packed.plane_limit[expr[1]], orig, dir, tangents)
     if kind == "sphere":
-        return sphere_all_hits(packed.sphere_center[expr[1]], packed.sphere_r[expr[1]], orig, dir)
+        return sphere_all_hits(packed.sphere_center[expr[1]], packed.sphere_r[expr[1]], orig, dir, tangents)
     if kind == "cube":
-        return cube_all_hits(packed.cube_center[expr[1]], packed.cube_side[expr[1]], orig, dir)
+        return cube_all_hits(packed.cube_center[expr[1]], packed.cube_side[expr[1]], orig, dir, tangents)
 
     _, op, left, right = expr
-    lh = all_hits_expr(packed, left, orig, dir)
-    rh = all_hits_expr(packed, right, orig, dir)
+    lh = all_hits_expr(packed, left, orig, dir, tangents)
+    rh = all_hits_expr(packed, right, orig, dir, tangents)
     kl = lh["dist"].shape[-1]
 
+    vk = _vec_keys(lh)
     merged = {
-        "dist": jnp.concatenate([lh["dist"], rh["dist"]], axis=-1),
-        "p": jnp.concatenate([lh["p"], rh["p"]], axis=-2),
-        "normal": jnp.concatenate([lh["normal"], rh["normal"]], axis=-2),
-        "u": jnp.concatenate([lh["u"], rh["u"]], axis=-1),
-        "v": jnp.concatenate([lh["v"], rh["v"]], axis=-1),
+        k: jnp.concatenate([lh[k], rh[k]], axis=-2 if k in vk else -1) for k in lh
     }
     side_flag = jnp.concatenate(
         [jnp.zeros_like(lh["dist"]), jnp.ones_like(rh["dist"])], axis=-1
@@ -381,8 +424,13 @@ def all_hits_expr(packed: ScenePacked, expr, orig, dir):
     # (the subtracted child's skin) the stored normal points into the solid;
     # detect by comparing right.isInside just before/after the hit point.
     if op == "diff":
-        eps_step = shits["p"] + dir[..., None, :] * 1e-6
-        eps_back = shits["p"] - dir[..., None, :] * 1e-6
+        # probe step: 1e-6 like the reference in f64; under f32 that is
+        # BELOW one ulp at the reference scenes' coordinate scale (~1e2),
+        # so p +- dir*1e-6 == p and the flip silently never fires — widen
+        # to 1e-3, the same dtype split as ops/shade.shadow_eps
+        eps = 1e-6 if shits["p"].dtype == jnp.float64 else 1e-3
+        eps_step = shits["p"] + dir[..., None, :] * eps
+        eps_back = shits["p"] - dir[..., None, :] * eps
         before = is_inside_expr(packed, right, eps_back)
         after = is_inside_expr(packed, right, eps_step)
         flip = (before != after) & state
@@ -394,23 +442,18 @@ def all_hits_expr(packed: ScenePacked, expr, orig, dir):
     return out
 
 
-def closest_hit_expr(packed: ScenePacked, expr, orig, dir):
+def closest_hit_expr(packed: ScenePacked, expr, orig, dir, tangents=False):
     """Closest-hit candidate of a geometry expression (dist=INF on miss)."""
     kind = expr[0]
     if kind == "plane":
-        return plane_closest(packed.plane_y[expr[1]], packed.plane_limit[expr[1]], orig, dir)
+        return plane_closest(packed.plane_y[expr[1]], packed.plane_limit[expr[1]], orig, dir, tangents)
     if kind == "sphere":
-        return sphere_closest(packed.sphere_center[expr[1]], packed.sphere_r[expr[1]], orig, dir)
+        return sphere_closest(packed.sphere_center[expr[1]], packed.sphere_r[expr[1]], orig, dir, tangents)
     if kind == "cube":
-        return cube_closest(packed.cube_center[expr[1]], packed.cube_side[expr[1]], orig, dir)
-    hits = all_hits_expr(packed, expr, orig, dir)
-    return {
-        "dist": hits["dist"][..., 0],
-        "p": hits["p"][..., 0, :],
-        "normal": hits["normal"][..., 0, :],
-        "u": hits["u"][..., 0],
-        "v": hits["v"][..., 0],
-    }
+        return cube_closest(packed.cube_center[expr[1]], packed.cube_side[expr[1]], orig, dir, tangents)
+    hits = all_hits_expr(packed, expr, orig, dir, tangents)
+    vk = _vec_keys(hits)
+    return {k: (v[..., 0, :] if k in vk else v[..., 0]) for k, v in hits.items()}
 
 
 # --------------------------------------------------------------------------
@@ -418,18 +461,18 @@ def closest_hit_expr(packed: ScenePacked, expr, orig, dir):
 # --------------------------------------------------------------------------
 
 
-def node_closest(packed: ScenePacked, node_static, node_idx, orig, dir):
+def node_closest(packed: ScenePacked, node_static, node_idx, orig, dir, tangents=False):
     """Closest-hit candidate for one scene node, in world space.
 
     Implements the canonic-space round trip with the |dir| distance
     rescaling derivation from node.d:51-67.  Identity / offset-only
     transforms take statically cheaper paths."""
     if node_static.identity_transform:
-        return closest_hit_expr(packed, node_static.geom, orig, dir)
+        return closest_hit_expr(packed, node_static.geom, orig, dir, tangents)
 
     offset = packed.node_offset[node_idx]
     if node_static.offset_only:
-        cand = closest_hit_expr(packed, node_static.geom, orig - offset, dir)
+        cand = closest_hit_expr(packed, node_static.geom, orig - offset, dir, tangents)
         cand["p"] = cand["p"] + offset
         return cand
 
@@ -439,26 +482,34 @@ def node_closest(packed: ScenePacked, node_static, node_idx, orig, dir):
     cd = dir @ m_inv
     dlen = jnp.sqrt(dot(cd, cd))
     cdn = cd / dlen[..., None]
-    cand = closest_hit_expr(packed, node_static.geom, co, cdn)
+    cand = closest_hit_expr(packed, node_static.geom, co, cdn, tangents)
     miss = cand["dist"] >= INF
-    return {
+    out = {
         "dist": jnp.where(miss, INF, cand["dist"] / dlen),
         "p": cand["p"] @ m + offset,
         "normal": _norm(cand["normal"] @ m_inv.T),
         "u": cand["u"],
         "v": cand["v"],
     }
+    if tangents:
+        # node.d:45-46: transform.direction (the forward matrix) + normalize
+        out["dndx"] = _norm(cand["dndx"] @ m)
+        out["dndy"] = _norm(cand["dndy"] @ m)
+    return out
 
 
-def scene_closest(packed: ScenePacked, static, orig, dir):
+def scene_closest(packed: ScenePacked, static, orig, dir, tangents=False):
     """The node-scan hot loop (renderer.d:336-338): linear scan over all
     nodes, last improving node wins; returns (hit, win) with win == -1 for
     misses.  The static Python loop unrolls at trace time and XLA fuses the
-    whole scan into one kernel."""
+    whole scan into one kernel.
+
+    ``tangents`` carries the dNdx/dNdy frame through the records (for the
+    bump-map extension); hot paths leave it off."""
     best = None
     win = jnp.full(orig.shape[:-1], -1, dtype=jnp.int32)
     for i, ns in enumerate(static.nodes):
-        cand = node_closest(packed, ns, i, orig, dir)
+        cand = node_closest(packed, ns, i, orig, dir, tangents)
         if best is None:
             best = cand
             win = jnp.where(cand["dist"] < INF, i, win)
@@ -466,16 +517,17 @@ def scene_closest(packed: ScenePacked, static, orig, dir):
             better = cand["dist"] <= best["dist"]  # ties: later node wins, like the reference
             improved = better & (cand["dist"] < INF)
             win = jnp.where(improved, i, win)
+            vk = _vec_keys(best)
             best = {
-                "dist": jnp.where(better, cand["dist"], best["dist"]),
-                "p": jnp.where(better[..., None], cand["p"], best["p"]),
-                "normal": jnp.where(better[..., None], cand["normal"], best["normal"]),
-                "u": jnp.where(better, cand["u"], best["u"]),
-                "v": jnp.where(better, cand["v"], best["v"]),
+                k: jnp.where(better[..., None] if k in vk else better, cand[k], best[k])
+                for k in best
             }
     if best is None:  # empty scene
         z = jnp.zeros(orig.shape[:-1], dtype=orig.dtype)
         best = {"dist": jnp.full_like(z, INF), "p": orig, "normal": dir, "u": z, "v": z}
+        if tangents:
+            best["dndx"] = jnp.zeros_like(orig)
+            best["dndy"] = jnp.zeros_like(orig)
     return best, win
 
 

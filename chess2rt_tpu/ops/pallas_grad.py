@@ -379,7 +379,10 @@ def reshade(
             ci = jnp.abs(cos_in)
             kk = 1.0 - eta * eta * (1.0 - ci * ci)
             tir = kk < 0
-            coef = eta * ci - jnp.sqrt(jnp.maximum(kk, 0.0))
+            # _safe_sqrt: at the TIR boundary (kk = 0) the plain sqrt's
+            # derivative is inf — same grazing-lane poisoning as the
+            # sphere discriminant (see geometry._safe_sqrt)
+            coef = eta * ci - G._safe_sqrt(jnp.maximum(kk, 0.0))
             f = eta[..., None] * dir + coef[..., None] * nf
             f = f * jax.lax.rsqrt(jnp.maximum(dot(f, f), 1e-30))[..., None]
             rfd = jnp.where(tir[..., None], rd, f)

@@ -88,6 +88,8 @@ def _supports_scene(static: SceneStatic) -> bool:
     sampling mode (build_round0_kernel's own precondition)."""
     if not static.nodes:
         return False  # nothing to scan; the XLA path handles empty scenes
+    if static.has_bump:
+        return False  # bump-map extension: XLA path carries tangent frames
     for ns in static.nodes:
         if ns.shader_kind not in (LAMBERT, PHONG, REFLECTION, REFRACTION):
             return False
@@ -515,11 +517,16 @@ def _geom_builders(p):
             h = dict(h)
             h.pop("side")
             if op == "diff":
-                # CsgDiff normal flip (geometry.d:377-397): eaten-out surface
+                # CsgDiff normal flip (geometry.d:377-397): eaten-out surface.
+                # Probe step 1e-3, NOT the reference's 1e-6: the kernel is
+                # f32-only and 1e-6 is below one ulp at the reference scenes'
+                # coordinate scale (~1e2) — p +- dir*1e-6 == p and the flip
+                # would silently never fire (matches ops/geometry.py's f32
+                # branch and the shadow_eps dtype split)
                 ts = jnp.where(valid, h["t"], 0.0)
                 hx, hy, hz = ox + dx * ts, oy + dy * ts, oz + dz * ts
-                before = is_inside(right, hx - dx * 1e-6, hy - dy * 1e-6, hz - dz * 1e-6)
-                after = is_inside(right, hx + dx * 1e-6, hy + dy * 1e-6, hz + dz * 1e-6)
+                before = is_inside(right, hx - dx * 1e-3, hy - dy * 1e-3, hz - dz * 1e-3)
+                after = is_inside(right, hx + dx * 1e-3, hy + dy * 1e-3, hz + dz * 1e-3)
                 flip = (before != after) & state
                 sgn = jnp.where(flip, -1.0, 1.0)
                 h["nx"], h["ny"], h["nz"] = h["nx"] * sgn, h["ny"] * sgn, h["nz"] * sgn
@@ -1152,13 +1159,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             return P.continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds)
 
         def compact_path(color, atten, alive, orig, dir):
-            idx = jnp.arange(n, dtype=jnp.int32)
-            pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
-            sel = (
-                jnp.zeros(cap, dtype=jnp.int32)
-                .at[jnp.where(alive, pos, cap)]
-                .set(idx, mode="drop")
-            )
+            sel = P.compact_indices(alive, n, cap)  # monotone scatter-add
             lane_live = jnp.arange(cap) < count
             def one_round(carry):
                 sub_color, at, a, o3, d3 = carry

@@ -297,6 +297,66 @@ def _quad_atlas(atlas, sizes):
 
 
 # --------------------------------------------------------------------------
+# Bump mapping (extension; oracle/renderer.modify_normal is the ground truth)
+# --------------------------------------------------------------------------
+
+
+def apply_bump(packed: ScenePacked, static: SceneStatic, winc, hit, onehot=None):
+    """Perturb hit normals by the winning node's bump map (the
+    renderer.d:370-372 hook, completed by the BumpTexture extension):
+
+        (dx, dy) = bilinear wrap sample of the differentiated map
+        normal'  = normalize(normal + (dNdx*dx + dNdy*dy) * strength)
+
+    Nodes without a bump map keep their normal.  Requires the hit records
+    to carry dndx/dndy (scene_closest(..., tangents=True)).  The bump
+    atlas is non-trainable (stop_gradient): its cotangent would be a
+    scatter-add, and height-field optimization is not a supported leaf."""
+    if not static.has_bump:
+        return hit["normal"]
+    if onehot is None:
+        onehot = node_onehot(static, winc)
+    b = static_select(winc, [max(n.bump_idx, 0) for n in static.nodes])
+    hh = static_select(b, [s[0] for s in static.bump_sizes])
+    ww = static_select(b, [s[1] for s in static.bump_sizes])
+    h = hh.astype(packed.bump_atlas.dtype)
+    w = ww.astype(packed.bump_atlas.dtype)
+    scaling = node_gather(onehot, packed.bump_scaling)
+    uu = hit["u"] * scaling
+    vv = hit["v"] * scaling
+    uu = uu - jnp.floor(uu)
+    vv = vv - jnp.floor(vv)
+    tx = uu * w
+    ty = vv * h
+    ix = jnp.clip(jnp.floor(tx), 0, w - 1)
+    iy = jnp.clip(jnp.floor(ty), 0, h - 1)
+    p = (tx - ix)[..., None]
+    q = (ty - iy)[..., None]
+    atlas = jax.lax.stop_gradient(packed.bump_atlas)
+    T_, H, W, _ = atlas.shape
+    flat = atlas.reshape(T_ * H * W, 3)
+
+    def tap(ixi, iyi):
+        return flat[(b * H + iyi) * W + ixi]
+
+    ixi = ix.astype(jnp.int32)
+    iyi = iy.astype(jnp.int32)
+    ixn = (ixi + 1) % ww
+    iyn = (iyi + 1) % hh
+    d = (
+        tap(ixi, iyi) * (1 - p) * (1 - q)
+        + tap(ixn, iyi) * p * (1 - q)
+        + tap(ixi, iyn) * (1 - p) * q
+        + tap(ixn, iyn) * p * q
+    )
+    strength = node_gather(onehot, packed.bump_strength)
+    dn = (hit["dndx"] * d[..., 0:1] + hit["dndy"] * d[..., 1:2]) * strength[..., None]
+    bumped = G._norm(hit["normal"] + dn)  # guarded: dead lanes stay NaN-free
+    has = static_select(winc, [1 if n.bump_idx >= 0 else 0 for n in static.nodes]).astype(bool)
+    return jnp.where(has[..., None], bumped, hit["normal"])
+
+
+# --------------------------------------------------------------------------
 # Direct shading: fused Lambert + Phong (shader.d:67-105, :197-250)
 # --------------------------------------------------------------------------
 

@@ -408,29 +408,51 @@ def tex_color(tex: T.Texture, u, v):
             out += cv * np.sin(v * tex.freqV[i])[:, None].astype(np.float32)
         return out
     if isinstance(tex, T.BitmapTexture):
-        img = tex.data  # linear float32 [h, w, 3]
-        h, w = img.shape[:2]
-        uu = u * tex.scaling
-        vv = v * tex.scaling
-        uu = uu - np.floor(uu)
-        vv = vv - np.floor(vv)
-        tx = uu.astype(np.float32) * w
-        ty = vv.astype(np.float32) * h
-        ix = np.floor(tx).astype(np.int64)
-        iy = np.floor(ty).astype(np.int64)
-        ix = np.clip(ix, 0, w - 1)  # guard float32 rounding to w exactly
-        iy = np.clip(iy, 0, h - 1)
-        ixn = (ix + 1) % w
-        iyn = (iy + 1) % h
-        p = (tx - ix).astype(np.float32)[:, None]
-        q = (ty - iy).astype(np.float32)[:, None]
-        return (
-            img[iy, ix] * (1 - p) * (1 - q)
-            + img[iy, ixn] * p * (1 - q)
-            + img[iyn, ix] * (1 - p) * q
-            + img[iyn, ixn] * p * q
-        )
+        return _filtered_sample(tex.data, tex.scaling, u, v)
     raise TypeError(type(tex))
+
+
+def _filtered_sample(img: np.ndarray, scaling: float, u, v):
+    """Scaling + wrap + bilinear fetch (texture.d:116-126, bitmap.d:48-63)."""
+    h, w = img.shape[:2]
+    uu = u * scaling
+    vv = v * scaling
+    uu = uu - np.floor(uu)
+    vv = vv - np.floor(vv)
+    tx = uu.astype(np.float32) * w
+    ty = vv.astype(np.float32) * h
+    ix = np.floor(tx).astype(np.int64)
+    iy = np.floor(ty).astype(np.int64)
+    ix = np.clip(ix, 0, w - 1)  # guard float32 rounding to w exactly
+    iy = np.clip(iy, 0, h - 1)
+    ixn = (ix + 1) % w
+    iyn = (iy + 1) % h
+    p = (tx - ix).astype(np.float32)[:, None]
+    q = (ty - iy).astype(np.float32)[:, None]
+    return (
+        img[iy, ix] * (1 - p) * (1 - q)
+        + img[iy, ixn] * p * (1 - q)
+        + img[iyn, ix] * (1 - p) * q
+        + img[iyn, ixn] * p * q
+    )
+
+
+def modify_normal(tex: T.Texture, rec: HitRecord) -> None:
+    """Texture.modifyNormal (texture.d:10-12): a no-op for every reference
+    texture kind; the BumpTexture EXTENSION (models/types.py) perturbs the
+    normal along the tangent frame by the differentiated bitmap's (dx, dy)
+    sampled like getTexColor."""
+    if not isinstance(tex, T.BumpTexture):
+        return  # reference behavior: the base hook does nothing
+    from ..imageio import differentiate
+
+    deriv = getattr(tex, "_deriv", None)
+    if deriv is None:
+        deriv = differentiate(tex.data)
+        tex._deriv = deriv
+    d = _filtered_sample(deriv, tex.scaling, rec.u, rec.v)
+    dn = (rec.dndx * d[:, 0:1] + rec.dndy * d[:, 1:2]) * tex.strength
+    rec.normal = vec.normalize(rec.normal + dn)
 
 
 # --------------------------------------------------------------------------
@@ -638,6 +660,10 @@ class OracleRenderer:
             for f in ("p", "normal", "dndx", "dndy"):
                 setattr(sub_rec, f, getattr(rec, f)[m])
             sub_rec.dist, sub_rec.u, sub_rec.v = rec.dist[m], rec.u[m], rec.v[m]
+            # bump hook site (renderer.d:370-372): no-op for reference
+            # textures, real for the BumpTexture extension
+            if node.bumpmap is not None:
+                modify_normal(node.bumpmap, sub_rec)
             out[m] = self.shade(node.shader, dir[m], depth, sub_rec)
         return out
 

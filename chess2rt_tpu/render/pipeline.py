@@ -65,9 +65,13 @@ def _whitted_round(packed, static, color, atten, alive, orig, dir, recursive, st
     Returns the updated carry.  Shared by the unrolled, scan and while_loop
     drivers below."""
     eps = S.shadow_eps(orig.dtype)
-    hit, win = G.scene_closest(packed, static, orig, dir)
+    hit, win = G.scene_closest(packed, static, orig, dir, tangents=static.has_bump)
     hitmask = alive & (win >= 0)
     winc = jnp.maximum(win, 0)
+    if static.has_bump:
+        # bump hook site (renderer.d:370-372): perturb the winning normal
+        # before shading AND before the continuation spawn below
+        hit = dict(hit, normal=S.apply_bump(packed, static, winc, hit))
     skind = S.shader_kind_of(static, winc)
 
     direct = S.shade_direct(packed, static, dir, hit, winc)
@@ -104,7 +108,9 @@ def _whitted_round(packed, static, color, atten, alive, orig, dir, recursive, st
         ci = jnp.abs(cos_in)
         k = 1.0 - eta * eta * (1.0 - ci * ci)
         tir = k < 0
-        refr = eta[..., None] * dir + (eta * ci - jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n_face
+        # _safe_sqrt: clamped derivative at the TIR boundary k = 0 (an
+        # exactly-critical-angle lane otherwise sends inf through the VJP)
+        refr = eta[..., None] * dir + (eta * ci - G._safe_sqrt(jnp.maximum(k, 0.0)))[..., None] * n_face
         refr_dir = jnp.where(tir[..., None], refl_dir, _norm(refr))
         refr_orig = jnp.where(tir[..., None], hit["p"] + n_face * eps, hit["p"] - n_face * eps)
         is_refr = skind == REFRACTION
@@ -213,6 +219,27 @@ def _run_rounds(packed, static, carry, n_rounds):
     return out
 
 
+def compact_indices(alive, n: int, cap: int):
+    """sel[j] = flat index of the j-th live lane (junk past the live
+    count, which callers mask with ``arange(cap) < count``).
+
+    Built as a MONOTONE scatter-add: target slots are clip(cumsum-1),
+    so dead lanes re-hit the previous slot contributing 0 — indices are
+    non-decreasing and XLA's TPU scatter lowering stays vectorized.  The
+    obvious ``zeros.at[where(alive, pos, cap)].set(idx)`` interleaves the
+    out-of-range sentinel between sorted positions, forcing the slow
+    general scatter (measured ~20 ms of a 1080p tap's 28 ms bounce cost)."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    tgt = jnp.clip(pos, 0, cap - 1)
+    contrib = jnp.where(alive, idx, 0)
+    return (
+        jnp.zeros(cap, dtype=jnp.int32)
+        .at[tgt]
+        .add(contrib, mode="drop", indices_are_sorted=True)
+    )
+
+
 def continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds):
     """Run ``n_rounds`` more wavefront rounds on an already-shaded state,
     compacting the (monotonically shrinking) live set into a
@@ -243,13 +270,7 @@ def continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds):
         return color + out[0]
 
     def compact_path(color, atten, alive, orig, dir):
-        idx = jnp.arange(n, dtype=jnp.int32)
-        pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
-        sel = (
-            jnp.zeros(cap, dtype=jnp.int32)
-            .at[jnp.where(alive, pos, cap)]
-            .set(idx, mode="drop")
-        )
+        sel = compact_indices(alive, n, cap)
         lane_live = jnp.arange(cap) < count  # slots past the live set are dead
         sub = (
             jnp.zeros((cap, 3), dtype=color.dtype),

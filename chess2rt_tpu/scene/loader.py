@@ -296,8 +296,12 @@ def _load_texture(node: DscNode, ctx: LoadContext):
         t.colorV = ctx.get_vec3_list(node, "colorV")
         t.freqU = ctx.get_float_list(node, "freqU")
         t.freqV = ctx.get_float_list(node, "freqV")
-    elif kind == "BitmapTexture":
-        t = T.BitmapTexture(name=name)
+    elif kind in ("BitmapTexture", "BumpTexture"):
+        # BumpTexture (extension, models/types.py): same file/scaling/gamma
+        # schema as BitmapTexture plus a derivative-map strength
+        t = T.BitmapTexture(name=name) if kind == "BitmapTexture" else T.BumpTexture(name=name)
+        if kind == "BumpTexture":
+            t.strength = ctx.get_scalar(node, "strength", t.strength, float)
         t.scaling = ctx.get_scalar(node, "scaling", t.scaling, float)
         t.assumedGamma = ctx.get_scalar(node, "assumedGamma", t.assumedGamma, float)
         t.file = ctx.resolve_relative_path(ctx.get_str(node, "file"))
