@@ -154,6 +154,28 @@ def main_check():
     rel_checksum = abs(img_p.sum() - img_x.sum()) / max(abs(img_x.sum()), 1e-9)
     close = float(np.mean(np.abs(img_p - img_x) <= 2e-3 + 2e-3 * np.abs(img_x)))
 
+    # oracle anchor: the TPU f32 XLA frame must match the float64 numpy
+    # ground truth to the same u8 tolerance the CPU tests pin.  This is
+    # what catches whole-path numeric regressions the kernel-vs-XLA
+    # checksum can't (both paths shared the bf16-matmul camera corruption
+    # this check was added for — see chess2rt_tpu/__init__.py).
+    from chess2rt_tpu.oracle.renderer import render_scene
+    from chess2rt_tpu.scene.loader import parse_scene_from_file
+    from chess2rt_tpu.utils.color import srgb_u8
+
+    osc = parse_scene_from_file("/root/reference/data/lecture5.sdl")
+    ow, oh = 96, 54
+    osc.settings.frameWidth, osc.settings.frameHeight = ow, oh
+    osc.camera.set_frame_size(ow, oh)
+    oref = srgb_u8(render_scene(osc)).astype(int)
+    from chess2rt_tpu.models.packed import pack_scene
+
+    opacked2, ostatic2 = pack_scene(osc, dtype=jnp.float32)
+    odev = srgb_u8(
+        np.asarray(jax.jit(lambda p: render_frame(p, ostatic2, key))(opacked2))
+    ).astype(int)
+    oracle_within1 = float((np.abs(oref - odev) <= 1).mean())
+
     def loss(p, k):
         return ((render_frame(p, static_p, k) - jnp.zeros((h, w, 3))) ** 2).mean()
 
@@ -164,7 +186,13 @@ def main_check():
     )
     grad_nonzero = sum(float(jnp.abs(x).sum()) for x in leaves) > 0
 
-    ok = (rel_checksum < 5e-4) and (close > 0.99) and grad_finite and grad_nonzero
+    ok = (
+        (rel_checksum < 5e-4)
+        and (close > 0.99)
+        and grad_finite
+        and grad_nonzero
+        and (oracle_within1 > 0.99)
+    )
     print(
         json.dumps(
             {
@@ -173,6 +201,7 @@ def main_check():
                 "unit": "rel_checksum_delta",
                 "vs_baseline": None,
                 "pixels_close": round(close, 5),
+                "oracle_within1": round(oracle_within1, 5),
                 "grad_finite": grad_finite,
                 "grad_nonzero": grad_nonzero,
                 "ok": ok,

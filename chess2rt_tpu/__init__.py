@@ -31,3 +31,19 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Matmul precision policy: XLA lowers float32 matmuls onto the TPU MXU as
+# bfloat16-input passes BY DEFAULT, silently truncating operands to 8
+# mantissa bits.  For neural nets that is the right trade; for a renderer
+# whose camera basis and node transforms are 3x3 matmuls it is
+# catastrophic — measured on TPU v5e, the default left only 42% of
+# lecture5's pixels within 1 u8 step of the f32 CPU render (max error
+# 195/255, every ray corrupted through the camera frame), while HIGHEST
+# restores CPU-exact output.  The matmuls this framework runs are either
+# tiny (3x3 transforms, [N, n_nodes] one-hot gathers) or f32-accumulating
+# gradient contractions, so full-precision passes cost ~nothing here.
+# Set as the package-wide default so every entry point (render, grad,
+# sharded mesh, Pallas XLA glue) traces with it.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
