@@ -105,7 +105,11 @@ class InteractiveSession:
         img = np.asarray(self._fns[key](packed, jax.random.PRNGKey(0)))
         if preview:
             img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
-            img = img[: self.scene.settings.frameHeight, : self.scene.settings.frameWidth]
+            h, w = self.scene.settings.frameHeight, self.scene.settings.frameWidth
+            ph, pw = max(0, h - img.shape[0]), max(0, w - img.shape[1])
+            if ph or pw:  # non-divisible frame sizes: edge-repeat the rim
+                img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            img = img[:h, :w]
         return img
 
     def render(self, preview: bool = False) -> np.ndarray:
@@ -143,6 +147,23 @@ class InteractiveSession:
         self.scene.camera.rotate(-dx * MOUSE_SPEED, 0.0, -dy * MOUSE_SPEED)
         return self.render(preview=preview)
 
+    def handle_resize(self, width: int, height: int, preview: bool = True):
+        """Window resize (raytracer_demo.d:126-143 updateToWindowSize):
+        gated on allowResize and not fullscreen; re-targets the frame size
+        (the framebuffer re-alloc role) and — only with dynamicAspectRatio
+        — the camera frame, then re-renders.  Returns the new frame, or
+        None when resizing is disabled."""
+        s = self.scene.settings
+        if not s.allowResize or s.fullscreen:
+            return None
+        if (width, height) == (s.frameWidth, s.frameHeight):
+            return None
+        s.frameWidth, s.frameHeight = int(width), int(height)
+        if s.dynamicAspectRatio:
+            self.scene.camera.set_frame_size(int(width), int(height))
+        self._fns.clear()  # new shapes -> new compiled renderers
+        return self.render(preview=preview)
+
     def handle_click(self, x: int, y: int) -> str:
         """Left-click pixel inspection (raytracer_demo.d:240-266)."""
         from ..app import debug_pixel
@@ -169,7 +190,8 @@ class InteractiveSession:
     def run(self, events, full_render_after: float = 0.0):
         """Drive the session from an iterable of events:
         ("key", name, modifier) | ("mouse", dx, dy) | ("click", x, y) |
-        ("quit",).  A full-quality render lands after the last event."""
+        ("resize", w, h) | ("quit",).  A full-quality render lands after
+        the last event."""
         last = time.monotonic()
         for ev in events:
             if ev[0] == "quit":
@@ -180,6 +202,8 @@ class InteractiveSession:
                 self.handle_mouse(ev[1], ev[2])
             elif ev[0] == "click":
                 print(self.handle_click(ev[1], ev[2]))
+            elif ev[0] == "resize":
+                self.handle_resize(ev[1], ev[2])
             last = time.monotonic()
         if full_render_after >= 0:
             return self.render(preview=False)

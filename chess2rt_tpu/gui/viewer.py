@@ -95,15 +95,29 @@ class TerminalViewer:
 
 
 class SDL2Viewer:
-    """Real window via pysdl2, when importable (never required)."""
+    """Real window via pysdl2, when importable (never required).
 
-    def __init__(self, width: int, height: int, title: str = "chess2rt_tpu"):
+    Beyond the blit role it exposes ``poll_events()``: SDL input translated
+    into the InteractiveSession event tuples — key presses with
+    Shift/Ctrl modifiers, relative mouse-look while the right button is
+    held (raytracer_demo.d:311-322), left-click pixel inspection
+    (raytracer_demo.d:213-214), window resize (raytracer_demo.d:126-143 —
+    the surface is re-fetched after SDL reallocates it), and quit."""
+
+    _KEYNAMES = {
+        "W": "w", "A": "a", "S": "s", "D": "d",
+        "Up": "up", "Down": "down", "Left": "left", "Right": "right",
+        "R": "r", "P": "p", "Q": "q", "Escape": "esc", "F12": "f12",
+    }
+
+    def __init__(self, width: int, height: int, title: str = "chess2rt_tpu", resizable: bool = True):
         import sdl2  # noqa: F401  (ImportError -> caller falls back)
         import sdl2.ext
 
         sdl2.ext.init()
         self._sdl2 = sdl2
-        self.window = sdl2.ext.Window(title, size=(width, height))
+        flags = sdl2.SDL_WINDOW_RESIZABLE if resizable else 0
+        self.window = sdl2.ext.Window(title, size=(width, height), flags=flags)
         self.window.show()
         self.surface = self.window.get_surface()
 
@@ -118,6 +132,46 @@ class SDL2Viewer:
         view[:h, :w, 1] = u8[:h, :w, 1]
         view[:h, :w, 2] = u8[:h, :w, 0]
         self.window.refresh()
+
+    def _modifier(self):
+        sdl2 = self._sdl2
+        mod = sdl2.SDL_GetModState()
+        if mod & sdl2.KMOD_CTRL:
+            return "ctrl"
+        if mod & sdl2.KMOD_SHIFT:
+            return "shift"
+        return None
+
+    def poll_events(self):
+        """Drain the SDL queue -> session event tuples (gui/session.run)."""
+        sdl2 = self._sdl2
+        out = []
+        ev = sdl2.SDL_Event()
+        while sdl2.SDL_PollEvent(ev):
+            if ev.type == sdl2.SDL_QUIT:
+                out.append(("quit",))
+            elif ev.type == sdl2.SDL_KEYDOWN:
+                name = sdl2.SDL_GetKeyName(ev.key.keysym.sym).decode()
+                key = self._KEYNAMES.get(name)
+                if key:
+                    out.append(("key", key, self._modifier()))
+            elif ev.type == sdl2.SDL_MOUSEMOTION and (
+                ev.motion.state & sdl2.SDL_BUTTON_RMASK
+            ):
+                out.append(("mouse", int(ev.motion.xrel), int(ev.motion.yrel)))
+            elif ev.type == sdl2.SDL_MOUSEBUTTONDOWN and ev.button.button == sdl2.SDL_BUTTON_LEFT:
+                out.append(("click", int(ev.button.x), int(ev.button.y)))
+            elif ev.type == sdl2.SDL_WINDOWEVENT and ev.window.event in (
+                sdl2.SDL_WINDOWEVENT_RESIZED,
+                sdl2.SDL_WINDOWEVENT_SIZE_CHANGED,
+            ):
+                out.append(("resize", int(ev.window.data1), int(ev.window.data2)))
+        return out
+
+    def on_resized(self) -> None:
+        """Re-fetch the window surface after SDL reallocated it
+        (sdl2_gui.d:85-110 setSize: surface/texture recreation)."""
+        self.surface = self.window.get_surface()
 
     def close(self) -> None:
         self.window.close()
@@ -185,9 +239,52 @@ def _read_key(timeout: float = 0.5):
     return (ch, None)
 
 
+def sdl_interactive_main(session, viewer, bucket_size: int = 48) -> int:
+    """Window-driven interactive loop: SDL input (keys, right-drag
+    mouse-look, left-click inspect, resize) routed into the session's
+    handlers — the raytracer_demo.d:190-340 event loop."""
+    dirty = False
+    while True:
+        events = viewer.poll_events()
+        if not events:
+            if dirty:
+                progressive_render(session, viewer, bucket_size)
+                dirty = False
+            time.sleep(0.01)
+            continue
+        for ev in events:
+            if ev[0] == "quit":
+                viewer.close()
+                return 0
+            if ev[0] == "key":
+                if ev[1] in ("q", "esc"):
+                    viewer.close()
+                    return 0
+                if ev[1] == "p":
+                    print(f"saved {session.screenshot()}", flush=True)
+                    continue
+                frame = session.handle_key(ev[1], ev[2], preview=True)
+            elif ev[0] == "mouse":
+                frame = session.handle_mouse(ev[1], ev[2], preview=True)
+            elif ev[0] == "click":
+                print(session.handle_click(ev[1], ev[2]), flush=True)
+                continue
+            elif ev[0] == "resize":
+                frame = session.handle_resize(ev[1], ev[2], preview=True)
+                if frame is not None:
+                    viewer.on_resized()
+            else:
+                frame = None
+            if frame is not None:
+                viewer.blit(frame)
+                dirty = True
+
+
 def interactive_main(scene_path: str, dtype=None, prefer_sdl: bool = True, bucket_size: int = 48) -> int:
     """``python -m chess2rt_tpu --interactive``: progressive display +
-    the RTDemo control table (gui/session.CONTROLS)."""
+    the RTDemo control table (gui/session.CONTROLS).  With a real SDL
+    window the loop is event-driven (mouse-look, click inspection,
+    resize); on a bare terminal it falls back to the raw-tty key loop."""
     import termios
     import tty
 
@@ -196,6 +293,9 @@ def interactive_main(scene_path: str, dtype=None, prefer_sdl: bool = True, bucke
     session = InteractiveSession(scene_path, dtype=dtype)
     viewer = make_viewer(session.scene.settings.frameWidth, session.scene.settings.frameHeight, prefer_sdl)
     progressive_render(session, viewer, bucket_size)
+
+    if isinstance(viewer, SDL2Viewer):
+        return sdl_interactive_main(session, viewer, bucket_size)
 
     print("\n[wasd/arrows] move  [Shift]=rotate  [Ctrl]=roll/up-down  "
           "[r]eload  [p]=screenshot  [q/ESC] quit", flush=True)

@@ -74,3 +74,59 @@ class TestProgressive:
         outside = np.ones((48, 64), dtype=bool)
         outside[b1.y0 : b1.y1, b1.x0 : b1.x1] = False
         assert delta[outside].max() == 0.0
+
+
+class TestResize:
+    """Window-resize semantics (raytracer_demo.d:126-143 updateToWindowSize),
+    headless via InteractiveSession.handle_resize."""
+
+    def _session(self, data_dir):
+        from chess2rt_tpu.gui.session import InteractiveSession
+
+        s = InteractiveSession(str(data_dir / "lecture4.sdl"))
+        # keep renders tiny
+        s.scene.settings.frameWidth = 16
+        s.scene.settings.frameHeight = 12
+        s.scene.camera.set_frame_size(16, 12)
+        s.scene.settings.AAEnabled = False
+        return s
+
+    def test_disabled_without_allow_resize(self, data_dir):
+        s = self._session(data_dir)
+        s.scene.settings.allowResize = False
+        assert s.handle_resize(24, 18) is None
+        assert s.scene.settings.frameWidth == 16
+
+    def test_fullscreen_blocks_resize(self, data_dir):
+        s = self._session(data_dir)
+        s.scene.settings.allowResize = True
+        s.scene.settings.fullscreen = True
+        assert s.handle_resize(24, 18) is None
+
+    def test_resize_reallocates_frame(self, data_dir):
+        s = self._session(data_dir)
+        s.scene.settings.allowResize = True
+        old_aspect = s.scene.camera.aspect
+        frame = s.handle_resize(24, 18)
+        assert frame is not None and frame.shape == (18, 24, 3)
+        assert s.scene.settings.frameWidth == 24
+        # without dynamicAspectRatio the camera aspect is untouched
+        assert s.scene.camera.aspect == old_aspect
+
+    def test_dynamic_aspect_ratio_updates_camera(self, data_dir):
+        s = self._session(data_dir)
+        s.scene.settings.allowResize = True
+        s.scene.settings.dynamicAspectRatio = True
+        s.handle_resize(32, 12)
+        assert s.scene.camera.aspect == pytest.approx(32 / 12)
+
+    def test_noop_on_same_size(self, data_dir):
+        s = self._session(data_dir)
+        s.scene.settings.allowResize = True
+        assert s.handle_resize(16, 12) is None
+
+    def test_run_accepts_resize_events(self, data_dir):
+        s = self._session(data_dir)
+        s.scene.settings.allowResize = True
+        frame = s.run([("resize", 20, 10), ("key", "w", None)])
+        assert frame.shape == (10, 20, 3)
