@@ -90,7 +90,52 @@ def main():
         key = jax.random.PRNGKey(0)
         return renderer(p, key).sum() + 0.0 * jnp.asarray(aa[0])
 
-    fns = {"kern": kern_fn, "combine": combine_fn, "tap": tap_fn, "frame": frame_fn}
+    # ---- combine sub-pieces --------------------------------------------
+    from chess2rt_tpu.ops import shade as S
+
+    def combine_color_fn(p, aa):
+        o = kern(p, jnp.asarray(aa, jnp.float32).reshape(2))
+        return jnp.stack([o["r"], o["g"], o["b"]], axis=-1).sum()
+
+    def combine_tex_fn(p, aa):
+        o = kern(p, jnp.asarray(aa, jnp.float32).reshape(2))
+        winc = jnp.maximum(o["win"], 0)
+        tex = S.bitmap_color(packed, static, winc, o["u"], o["v"])
+        return tex.sum() + o["r"].sum()
+
+    def combine_book_fn(p, aa):
+        o = kern(p, jnp.asarray(aa, jnp.float32).reshape(2))
+        winc = jnp.maximum(o["win"], 0)
+        onehot = S.node_onehot(static, winc)
+        skind = S.shader_kind_of(static, winc)
+        cont = (o["win"] >= 0) & ((skind == 2) | (skind == 3))
+        atten = jnp.where(cont[..., None], S.node_gather(onehot, p.mat_color), 1.0)
+        return atten.sum() + o["r"].sum()
+
+    # ---- bounce machinery without any rounds ----------------------------
+    from chess2rt_tpu.render import pipeline as P
+
+    def compact_fn(p, aa):
+        o = kern(p, jnp.asarray(aa, jnp.float32).reshape(2))
+        color, cont, atten, ro, rd = PT.combine_outputs(p, static, o, None)
+        n = WIDTH * HEIGHT
+        cap = static.bounce_capacity
+        count = cont.sum()
+        sel = P.compact_indices(cont, n, cap)
+        lane_live = jnp.arange(cap) < count
+        sub = jnp.where(lane_live[..., None], atten[sel] + ro[sel] + rd[sel], 0.0)
+        return color.at[sel].add(sub).sum()
+
+    fns = {
+        "kern": kern_fn,
+        "combine": combine_fn,
+        "combine_color": combine_color_fn,
+        "combine_tex": combine_tex_fn,
+        "combine_book": combine_book_fn,
+        "compact": compact_fn,
+        "tap": tap_fn,
+        "frame": frame_fn,
+    }
     for stage in stages:
         try:
             time_fn(stage, fns[stage], packed, iters=(4 if stage == "frame" else ITERS))
