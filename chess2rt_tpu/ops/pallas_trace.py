@@ -1183,7 +1183,10 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
                 # skip all-dead rounds at runtime (TPU executes one branch)
                 carry = jax.lax.cond(carry[2].any(), one_round, lambda c: c, carry)
             sub_color = carry[0]
-            return color.at[sel].add(jnp.where(lane_live[..., None], sub_color, 0.0))
+            # sorted monotone scatter-add: junk slots drop out of range
+            # (see pipeline.continue_bounces for the rationale)
+            tgt = jnp.where(lane_live, sel, n)
+            return color.at[tgt].add(sub_color, mode="drop", indices_are_sorted=True)
 
         return jax.lax.cond(count <= cap, compact_path, full_path, color, atten0, alive, orig, dir)
 
