@@ -89,7 +89,14 @@ def main_grad():
 
     def many(p, keys):
         def body(acc, k):
-            l, g = jax.value_and_grad(loss)(p, k)
+            # key-jitter the camera so the scan body is NOT loop-invariant
+            # (same LICM hazard as main(): the deterministic render ignores
+            # the RNG key, and a hoisted body times one step as N)
+            jit_pos = (jax.random.uniform(k, (3,), jnp.float32) - 0.5) * 1e-4
+            p2 = dataclasses.replace(
+                p, camera=dataclasses.replace(p.camera, pos=p.camera.pos + jit_pos)
+            )
+            l, g = jax.value_and_grad(loss)(p2, k)
             gsum = sum(jnp.sum(x) for x in jax.tree.leaves(g))
             # tiny nonzero weight: keeps every grad leaf live (0.0 * gsum
             # could be algebraically simplified away) without perturbing
@@ -241,7 +248,18 @@ def main():
 
     def many(p, keys):
         def body(acc, k):
-            return acc + render_frame(p, static, k).sum(), None
+            # Fold the key into the CAMERA, not just the (unused-on-this-
+            # deterministic-path) RNG arg: a loop-invariant scan body gets
+            # hoisted by XLA's while-loop LICM, so a constant-scene scan
+            # would time ONE frame + N-1 adds and report an N-x-inflated
+            # throughput (this inflated the round-2 headline ~3.5x).  The
+            # ~1e-4-unit camera jitter is visually null but forces every
+            # iteration to render.
+            jit_pos = (jax.random.uniform(k, (3,), jnp.float32) - 0.5) * 1e-4
+            p2 = dataclasses.replace(
+                p, camera=dataclasses.replace(p.camera, pos=p.camera.pos + jit_pos)
+            )
+            return acc + render_frame(p2, static, k).sum(), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
         return acc

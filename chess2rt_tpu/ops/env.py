@@ -9,6 +9,10 @@ direction with bilinear filtering, differentiable w.r.t. the texels.
 Face layout (standard cube-mapping, major-axis projection):
     0:+X  1:-X  2:+Y  3:-Y  4:+Z  5:-Z
 with per-face (u, v) from the two minor axes over the major magnitude.
+
+Split into quads/plan/sample so the fused render path can MERGE the miss
+gather with the deferred bitmap-texel gather into one per-ray row gather
+(XLA's TPU gather cost is per-index — ops/fastgather.py).
 """
 
 from __future__ import annotations
@@ -16,8 +20,24 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sample_cubemap(cubemap, dir):
-    """cubemap [6, S, S, 3], dir [..., 3] (need not be normalized) -> [..., 3]."""
+def cubemap_quads(cubemap):
+    """[6, S, S, 3] -> flat quad table [6*S*S, 12]: each row holds the 2x2
+    bilinear neighbourhood (t00|t10|t01|t11), neighbours clamping at face
+    edges (cf. ops/shade._quad_atlas's per-texture wrap)."""
+    size = cubemap.shape[1]
+    xn = cubemap[:, :, 1:]
+    xn = jnp.concatenate([xn, xn[:, :, -1:]], axis=2)
+    yn = cubemap[:, 1:]
+    yn = jnp.concatenate([yn, yn[:, -1:]], axis=1)
+    xyn = yn[:, :, 1:]
+    xyn = jnp.concatenate([xyn, xyn[:, :, -1:]], axis=2)
+    quads = jnp.concatenate([cubemap, xn, yn, xyn], axis=-1)
+    return quads.reshape(6 * size * size, 12)
+
+
+def cubemap_plan(cubemap, dir):
+    """-> (key, p, q): flat row index into :func:`cubemap_quads`' table and
+    the bilinear fractions, for dir [..., 3] (need not be normalized)."""
     x, y, z = dir[..., 0], dir[..., 1], dir[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
 
@@ -47,19 +67,14 @@ def sample_cubemap(cubemap, dir):
     y0 = jnp.clip(jnp.floor(fy), 0, size - 1).astype(jnp.int32)
     p = (fx - x0)[..., None]
     q = (fy - y0)[..., None]
-    # one 12-float quad gather per ray instead of 4 taps (see
-    # ops/shade._quad_atlas; here neighbours clamp at face edges)
-    xn = cubemap[:, :, 1:]
-    xn = jnp.concatenate([xn, xn[:, :, -1:]], axis=2)
-    yn = cubemap[:, 1:]
-    yn = jnp.concatenate([yn, yn[:, -1:]], axis=1)
-    xyn = yn[:, :, 1:]
-    xyn = jnp.concatenate([xyn, xyn[:, :, -1:]], axis=2)
-    quads = jnp.concatenate([cubemap, xn, yn, xyn], axis=-1)
-    g = quads[face, y0, x0]
-    return (
-        g[..., 0:3] * (1 - p) * (1 - q)
-        + g[..., 3:6] * p * (1 - q)
-        + g[..., 6:9] * (1 - p) * q
-        + g[..., 9:12] * p * q
-    )
+    return (face * size + y0) * size + x0, p, q
+
+
+def sample_cubemap(cubemap, dir):
+    """cubemap [6, S, S, 3], dir [..., 3] (need not be normalized) -> [..., 3]."""
+    from .fastgather import row_gather
+    from .shade import bilerp_quad
+
+    key, p, q = cubemap_plan(cubemap, dir)
+    g = row_gather(cubemap_quads(cubemap), key)
+    return bilerp_quad(g, p, q)

@@ -31,7 +31,7 @@ direct terms (rt/shader.d:67-105), and the reflection/refraction
 continuation algebra — while both the forward and the backward's primal
 recompute skip every discrete scan.  Deferred pieces (bitmap texels,
 environment misses, bounce compaction) already live in differentiable XLA
-(ops/pallas_trace.combine_outputs, ops/shade._quad_gather), so the whole
+(ops/pallas_trace.combine_outputs, ops/shade.quad_gather_flat), so the whole
 flagship renderer composes into ``jax.value_and_grad`` unchanged.
 
 Discrete-pin caveat (standard differentiable rendering, SURVEY.md §7.0):

@@ -1083,16 +1083,39 @@ def combine_outputs(packed: ScenePacked, static: SceneStatic, o, dirs_or_none):
 
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
     has_refl = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
+    use_env = static.has_env and dirs_or_none is not None
     win = o["win"]
     color = jnp.stack([o["r"], o["g"], o["b"]], axis=-1)
     winc = jnp.maximum(win, 0)
     onehot = S.node_onehot(static, winc) if (has_bitmap or has_refl) else None
-    if has_bitmap:
+    if has_bitmap and use_env:
+        # MERGED per-ray row gather: bitmap-hit texels and miss-ray cubemap
+        # texels are mutually exclusive, so one gather over the
+        # concatenated quad tables serves both — XLA's TPU gather cost is
+        # per-index (~7 ns/row on v5e), so this halves the dominant cost of
+        # bitmap+skybox scenes like zaphod (BASELINE config #4)
+        from .env import cubemap_plan, cubemap_quads
+
+        quads_t, key_t, p_t, q_t = S.bitmap_plan(packed, static, winc, o["u"], o["v"], onehot)
+        quads_e = cubemap_quads(packed.env_cubemap)
+        key_e, p_e, q_e = cubemap_plan(packed.env_cubemap, dirs_or_none)
+        miss = win < 0
+        missc = miss[..., None]
+        key = jnp.where(miss, quads_t.shape[0] + key_e, key_t)
+        g = S.quad_gather_flat(
+            static.texel_grad_mode, jnp.concatenate([quads_t, quads_e]), key
+        )
+        out3 = S.bilerp_quad(g, jnp.where(missc, p_e, p_t), jnp.where(missc, q_e, q_t))
+        L = jnp.stack([o["lr"], o["lg"], o["lb"]], axis=-1)
+        is_bmp = (S.tex_kind_of(static, winc) == TEX_BITMAP) & (win >= 0)
+        w3 = jnp.where(is_bmp[..., None], L, 0.0) + jnp.where(missc, 1.0, 0.0)
+        color = color + out3 * w3
+    elif has_bitmap:
         tex = S.bitmap_color(packed, static, winc, o["u"], o["v"], onehot)
         L = jnp.stack([o["lr"], o["lg"], o["lb"]], axis=-1)
         is_bmp = (S.tex_kind_of(static, winc) == TEX_BITMAP) & (win >= 0)
         color = color + jnp.where(is_bmp[..., None], tex * L, 0.0)
-    if static.has_env and dirs_or_none is not None:
+    elif use_env:
         from .env import sample_cubemap
 
         env = sample_cubemap(packed.env_cubemap, dirs_or_none)
@@ -1159,7 +1182,9 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             return P.continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds)
 
         def compact_path(color, atten, alive, orig, dir):
-            sel = P.compact_indices(alive, n, cap)  # monotone scatter-add
+            from .fastgather import row_gather
+
+            sel = P.compact_indices(alive, n, cap)  # one lax.sort
             lane_live = jnp.arange(cap) < count
             def one_round(carry):
                 sub_color, at, a, o3, d3 = carry
@@ -1172,12 +1197,15 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
                 d3 = jnp.where(cont[..., None], rd, d3)
                 return sub_color, at, cont, o3, d3
 
+            # ONE merged row gather instead of three (gather cost is
+            # per-index on TPU — see ops/fastgather.py)
+            g = row_gather(jnp.concatenate([atten, orig, dir], axis=-1), sel, True, True)
             carry = (
                 jnp.zeros((cap, 3), dtype=color.dtype),
-                atten[sel],
+                g[:, 0:3],
                 lane_live,
-                orig[sel],
-                dir[sel],
+                g[:, 3:6],
+                g[:, 6:9],
             )
             for _ in range(n_rounds):
                 # skip all-dead rounds at runtime (TPU executes one branch)

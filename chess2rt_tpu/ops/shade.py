@@ -146,14 +146,22 @@ def texture_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=N
     return out
 
 
-def bitmap_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=None):
-    """Bilinear bitmap sample for the winning node's texture
-    (texture.d:103-162 scaling/wrap + bitmap.d:48-63 filtering).
+def bilerp_quad(g, p, q):
+    """Bilinear blend of a gathered [.., 12] quad row (t00|t10|t01|t11)."""
+    return (
+        g[..., 0:3] * (1 - p) * (1 - q)
+        + g[..., 3:6] * p * (1 - q)
+        + g[..., 6:9] * (1 - p) * q
+        + g[..., 9:12] * p * q
+    )
 
-    Exposed standalone so the fused Pallas path (ops/pallas_trace.py) can
-    defer exactly this gather to XLA: Mosaic has no per-lane dynamic
-    indexing, so the kernel emits (win, u, v) and this function turns them
-    into texels."""
+
+def bitmap_plan(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=None):
+    """Bilinear bitmap sample PLAN: -> (quads2d, key, p, q) where quads2d is
+    the flat quad table [rows, 12], key the per-ray flat row index, and
+    (p, q) the bilinear fractions — so callers can merge this gather with
+    others (the env cubemap) into ONE per-ray row gather
+    (texture.d:103-162 scaling/wrap + bitmap.d:48-63 filtering)."""
     if onehot is None:
         onehot = node_onehot(static, winc)
     # texture row + true (h, w) via static compare-select chains — table
@@ -184,13 +192,21 @@ def bitmap_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=No
     # the 2x2 bilinear neighbourhood with the reference's edge wrap
     # (bitmap.d:55-56), built in-graph so texel gradients stay exact.
     quads = _quad_atlas(atlas, static.bitmap_sizes)
-    g = _quad_gather(static.texel_grad_mode, quads, b, iyi, ixi)  # [N, 12]
-    return (
-        g[..., 0:3] * (1 - p) * (1 - q)
-        + g[..., 3:6] * p * (1 - q)
-        + g[..., 6:9] * (1 - p) * q
-        + g[..., 9:12] * p * q
-    )
+    T_, H, W, C = quads.shape
+    key = (b * H + iyi) * W + ixi
+    return quads.reshape(T_ * H * W, C), key, p, q
+
+
+def bitmap_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=None):
+    """Bilinear bitmap sample for the winning node's texture.
+
+    Exposed standalone so the fused Pallas path (ops/pallas_trace.py) can
+    defer exactly this gather to XLA: Mosaic has no per-lane dynamic
+    indexing, so the kernel emits (win, u, v) and this function turns them
+    into texels."""
+    quads2d, key, p, q = bitmap_plan(packed, static, winc, u, v, onehot)
+    g = quad_gather_flat(static.texel_grad_mode, quads2d, key)  # [N, 12]
+    return bilerp_quad(g, p, q)
 
 
 # --------------------------------------------------------------------------
@@ -218,62 +234,65 @@ def _f0(x):
 from functools import partial  # noqa: E402
 
 
-def _flat_take(quads, b, iy, ix):
-    # one flat 1-D gather instead of a 3-D multi-index gather: fewer index
-    # operands for XLA's TPU gather lowering
-    T_, H, W, C = quads.shape
-    return quads.reshape(T_ * H * W, C)[(b * H + iy) * W + ix]
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _quad_gather(mode, quads, b, iy, ix):
-    return _flat_take(quads, b, iy, ix)
+def quad_gather_flat(mode, table, key):
+    """``table[key]`` for a flat [rows, C] quad table with the texel-grad
+    custom VJP (histogram / sorted / plain scatter cotangent accumulation)
+    and the u16-pair fast gather forward (ops/fastgather.py).  Shared by
+    the bitmap-atlas gather and the merged bitmap+cubemap gather."""
+    from .fastgather import row_gather_raw
+
+    return row_gather_raw(table, key)
 
 
-def _quad_gather_fwd(mode, quads, b, iy, ix):
-    return _flat_take(quads, b, iy, ix), (b, iy, ix, quads.shape)
+def _qgf_fwd(mode, table, key):
+    from .fastgather import row_gather_raw
+
+    # zero-width slice: carries the row count + dtype statically at no cost
+    return row_gather_raw(table, key), (key, table[:, :0])
 
 
-def _quad_gather_bwd(mode, res, g):
-    b, iy, ix, shape = res
-    T_, H, W, C = shape
-    flat_n = b.reshape(-1).shape[0]
-    key = ((b * H + iy) * W + ix).reshape(flat_n)
+def _qgf_bwd(mode, res, g):
+    key, proto = res
+    n_rows = proto.shape[0]
+    C = g.shape[-1]
+    flat_n = key.reshape(-1).shape[0]
+    kf = key.reshape(flat_n)
     gf = g.reshape(flat_n, C)
     if mode == "histogram" and flat_n > 1:
         # sort, then accumulate on the MXU (ops/texel_hist.py) instead of
         # the monotone scatter-add
         from .texel_hist import texel_histogram
 
-        ops = (key,) + tuple(gf[:, c] for c in range(C))
+        ops = (kf,) + tuple(gf[:, c] for c in range(C))
         s = jax.lax.sort(ops, num_keys=1)
         dq = texel_histogram(
             s[0],
             jnp.stack(s[1:], axis=-1),
-            T_ * H * W,
+            n_rows,
             interpret=jax.default_backend() != "tpu",
         )
-        return dq.reshape(T_, H, W, C), _f0(b), _f0(iy), _f0(ix)
+        return dq, _f0(key)
     if mode == "sorted" and flat_n > 1:
         # sort the payload columns along with the key: a (key, perm)
         # 2-operand sort followed by a [N, 12] permutation gather measured
         # SLOWER in the full grad step (the permutation gather is the
         # per-ray-gather cost class this path exists to avoid)
-        ops = (key,) + tuple(gf[:, c] for c in range(C))
+        ops = (kf,) + tuple(gf[:, c] for c in range(C))
         s = jax.lax.sort(ops, num_keys=1)
         sk = s[0]
         sg = jnp.stack(s[1:], axis=-1)
         dq = (
-            jnp.zeros((T_ * H * W, C), g.dtype)
+            jnp.zeros((n_rows, C), g.dtype)
             .at[sk]
             .add(sg, indices_are_sorted=True, mode="drop")
         )
     else:
-        dq = jnp.zeros((T_ * H * W, C), g.dtype).at[key].add(gf, mode="drop")
-    return dq.reshape(T_, H, W, C), _f0(b), _f0(iy), _f0(ix)
+        dq = jnp.zeros((n_rows, C), g.dtype).at[kf].add(gf, mode="drop")
+    return dq, _f0(key)
 
 
-_quad_gather.defvjp(_quad_gather_fwd, _quad_gather_bwd)
+quad_gather_flat.defvjp(_qgf_fwd, _qgf_bwd)
 
 
 def _quad_atlas(atlas, sizes):
@@ -337,7 +356,10 @@ def apply_bump(packed: ScenePacked, static: SceneStatic, winc, hit, onehot=None)
     flat = atlas.reshape(T_ * H * W, 3)
 
     def tap(ixi, iyi):
-        return flat[(b * H + iyi) * W + ixi]
+        from .fastgather import row_gather_raw
+
+        # stop_gradient atlas -> the non-differentiable raw path is safe
+        return row_gather_raw(flat, (b * H + iyi) * W + ixi)
 
     ixi = ix.astype(jnp.int32)
     iyi = iy.astype(jnp.int32)

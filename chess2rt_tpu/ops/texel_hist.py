@@ -2,7 +2,7 @@
 
 The VJP of the bilinear quad gather is a scatter-add of [N, 12] cotangents
 into the flat quad atlas.  XLA's TPU scatter serializes on duplicate
-indices; pre-sorting helps (ops/shade._quad_gather "sorted" mode) but the
+indices; pre-sorting helps (ops/shade.quad_gather_flat "sorted" mode) but the
 monotone scatter itself remains a serial bottleneck.  This kernel finishes
 the job on the MXU:
 

@@ -126,8 +126,31 @@ def main():
         sub = jnp.where(lane_live[..., None], atten[sel] + ro[sel] + rd[sel], 0.0)
         return color.at[sel].add(sub).sum()
 
+    # incremental bounce-machinery slices mirroring pallas_bounces exactly
+    def _upto(p, aa, stage):
+        from chess2rt_tpu.ops.fastgather import row_gather
+
+        o = kern(p, jnp.asarray(aa, jnp.float32).reshape(2))
+        color, cont, atten, ro, rd = PT.combine_outputs(p, static, o, None)
+        n = WIDTH * HEIGHT
+        cap = -(-static.bounce_capacity // PT.TILE_N) * PT.TILE_N
+        count = cont.sum()
+        sel = P.compact_indices(cont, n, cap)
+        if stage == "sel":
+            return color.sum() + sel.sum().astype(jnp.float32)
+        lane_live = jnp.arange(cap) < count
+        g = row_gather(jnp.concatenate([atten, ro, rd], axis=-1), sel, True, True)
+        if stage == "selgather":
+            return color.sum() + g.sum()
+        tgt = jnp.where(lane_live, sel, n)
+        out = color.at[tgt].add(g[:, 0:3], mode="drop", indices_are_sorted=True)
+        return out.sum()
+
     fns = {
         "kern": kern_fn,
+        "sel": lambda p, aa: _upto(p, aa, "sel"),
+        "selgather": lambda p, aa: _upto(p, aa, "selgather"),
+        "scatterback": lambda p, aa: _upto(p, aa, "scatterback"),
         "combine": combine_fn,
         "combine_color": combine_color_fn,
         "combine_tex": combine_tex_fn,

@@ -155,7 +155,7 @@ class TestCheckpoint:
 
 
 class TestTexelGradModes:
-    """ops/shade._quad_gather: the sorted-scatter VJP must produce the
+    """ops/shade.quad_gather_flat: the sorted-scatter VJP must produce the
     same texel gradients as the naive scatter-add (round-2 item 2)."""
 
     def test_modes_agree_and_match_fd(self, data_dir):

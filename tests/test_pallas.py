@@ -246,3 +246,70 @@ class TestRefraction:
         d = np.abs(out - ref).max(-1)
         # refraction bends knife edges hard; allow a slightly wider tail
         assert (d > 2e-3).mean() < 0.01, ((d > 2e-3).mean(), d.max())
+
+
+class TestMergedEnvBitmapGather:
+    """combine_outputs merges the deferred bitmap-texel gather and the
+    miss-ray cubemap gather into ONE per-ray row gather when a scene has
+    both (pallas_trace.combine_outputs; gather cost on TPU is per-index)."""
+
+    def _scene(self, data_dir):
+        sc = parse_scene_from_file(str(data_dir / "zaphod.sdl"))
+        sc.settings.frameWidth, sc.settings.frameHeight = 32, 22
+        sc.camera.set_frame_size(32, 22)
+        sc.settings.AAEnabled = False
+        sc.camera.numSamples = 3
+        # pitch the camera toward the horizon: zaphod's book sits on an
+        # infinite plane and the stock -41.8 pitch makes EVERY ray hit it —
+        # the merged gather needs both texel hits AND env misses in-frame
+        sc.camera.pitch = -8.0
+        # gradient cubemap so env pixels vary (merged-key mistakes show up)
+        cm = np.linspace(0.1, 0.9, 6 * 8 * 8 * 3, dtype=np.float32).reshape(6, 8, 8, 3)
+        sc.environment.cubemap = cm
+        return sc
+
+    def test_matches_xla(self, data_dir):
+        import dataclasses
+
+        sc = self._scene(data_dir)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert static.has_env and static.dof
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer
+
+        st = dataclasses.replace(static, aa_enabled=False)
+        key = jax.random.PRNGKey(3)
+        out = np.asarray(build_flagship_renderer(st, 32, 22, interpret=True)(packed, key))
+        ref = np.asarray(render_frame(packed, st, key))
+        assert np.isfinite(out).all()
+        d = np.abs(out - ref).max(-1)
+        assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
+
+    def test_grads_match_plain_modes(self, data_dir):
+        """The merged gather's texel VJP must produce the same atlas AND
+        cubemap gradients in histogram / sorted / plain scatter modes."""
+        import dataclasses
+
+        sc = self._scene(data_dir)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        static = dataclasses.replace(
+            static, use_pallas=True, interpret_pallas=True, train_textures=True
+        )
+        key = jax.random.PRNGKey(5)
+
+        def loss_for(mode):
+            st = dataclasses.replace(static, texel_grad_mode=mode)
+
+            def loss(p):
+                img = render_frame(p, st, key)
+                return (img * jnp.cos(jnp.arange(img.size).reshape(img.shape))).sum()
+
+            return jax.grad(loss)(packed)
+
+        g_hist = loss_for("histogram")
+        g_scatter = loss_for("scatter")
+        for name in ("bitmap_atlas", "env_cubemap"):
+            a = np.asarray(getattr(g_hist, name))
+            b = np.asarray(getattr(g_scatter, name))
+            assert np.isfinite(a).all() and np.isfinite(b).all()
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6, err_msg=name)
+            assert np.abs(a).sum() > 0, name
