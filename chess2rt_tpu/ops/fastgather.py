@@ -24,20 +24,58 @@ import jax
 import jax.numpy as jnp
 
 
-def row_gather_raw(table, idx):
+# The u16 fast path only wins while the table's ROW COUNT stays under the
+# staging limit of the 16-bit gather lowering: measured on v5e at 2M
+# indices, tables up to 450k rows gather at ~2-4 ns/row regardless of row
+# width (8-22 MB all fast), while >=524,288 rows collapse to ~27 ns/row —
+# worse than the plain f32 gather (~7.4 ns/row).  Oversized tables can be
+# FOLDED K consecutive rows into one wide row (a free reshape): gather by
+# key//K, then select the key%K slice with a short where-chain.  Folding
+# multiplies gathered bytes by K, so it only pays for index-heavy gathers
+# (the per-ray texel fetch), not for few-index compaction gathers.
+U16_FAST_ROWS = 450_000
+MAX_FOLD = 4
+
+
+def row_gather_raw(table, idx, fold=False):
     """``table[idx]`` for a 2-D f32 table via the u16-pair fast path.
 
     Bit-exact, NOT differentiable (bitcast inside) — use inside custom-VJP
     forwards, or call :func:`row_gather` for the AD-complete version.
-    Non-f32 dtypes (the f64 oracle-parity path) take the plain gather.
+    Non-f32 dtypes (the f64 oracle-parity path) take the plain gather, as
+    do tables beyond the fast zone unless ``fold=True`` lets K-row folding
+    bring the row count back under it.
     Out-of-range indices clamp, like jnp basic indexing under jit.
     """
     if table.ndim != 2 or table.dtype != jnp.float32:
         return table[idx]
     n, c = table.shape
-    t16 = jax.lax.bitcast_convert_type(table, jnp.uint16).reshape(n, 2 * c)
-    g = t16[idx]
-    return jax.lax.bitcast_convert_type(g.reshape(idx.shape + (c, 2)), jnp.float32)
+    k = 1
+    if n > U16_FAST_ROWS:
+        if not fold:
+            return table[idx]
+        while n > k * U16_FAST_ROWS and k < MAX_FOLD:
+            k *= 2
+        if n > k * U16_FAST_ROWS:
+            return table[idx]  # too large even folded: plain gather
+        pad = (-n) % k
+        if pad:
+            table = jnp.concatenate([table, jnp.zeros((pad, c), table.dtype)])
+        table = table.reshape((n + pad) // k, c * k)
+    t16 = jax.lax.bitcast_convert_type(table, jnp.uint16).reshape(
+        table.shape[0], 2 * table.shape[1]
+    )
+    if k == 1:
+        g = t16[idx]
+        return jax.lax.bitcast_convert_type(g.reshape(idx.shape + (c, 2)), jnp.float32)
+    idxc = jnp.clip(idx, 0, n - 1)  # preserve the plain path's clamp semantics
+    g = t16[idxc // k]
+    gf = jax.lax.bitcast_convert_type(g.reshape(idx.shape + (k, c, 2)), jnp.float32)
+    rem = idxc % k
+    out = gf[..., 0, :]
+    for j in range(1, k):
+        out = jnp.where((rem == j)[..., None], gf[..., j, :], out)
+    return out
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -191,10 +191,20 @@ def bitmap_plan(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=Non
     # ONE 12-float gather per ray instead of 4 taps: quad[y, x] holds
     # the 2x2 bilinear neighbourhood with the reference's edge wrap
     # (bitmap.d:55-56), built in-graph so texel gradients stay exact.
-    quads = _quad_atlas(atlas, static.bitmap_sizes)
-    T_, H, W, C = quads.shape
-    key = (b * H + iyi) * W + ixi
-    return quads.reshape(T_ * H * W, C), key, p, q
+    # The table is UNPADDED (concatenated true h*w blocks, not Hmax*Wmax):
+    # row count is what gates the u16 fast-gather zone (ops/fastgather.py),
+    # and lecture5's padded table is 640k rows vs 385k true texels.
+    quads2d = _quad_atlas_flat(atlas, static.bitmap_sizes)
+    sizes = static.bitmap_sizes
+    bases = [0]
+    for hh, wwid in sizes:
+        bases.append(bases[-1] + hh * wwid)
+    base = static_select(winc, [bases[max(n.bitmap_idx, 0)] for n in static.nodes])
+    wi = static_select(
+        winc, [sizes[max(n.bitmap_idx, 0)][1] if sizes else 1 for n in static.nodes]
+    )
+    key = base + iyi * wi + ixi
+    return quads2d, key, p, q
 
 
 def bitmap_color(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=None):
@@ -242,14 +252,14 @@ def quad_gather_flat(mode, table, key):
     the bitmap-atlas gather and the merged bitmap+cubemap gather."""
     from .fastgather import row_gather_raw
 
-    return row_gather_raw(table, key)
+    return row_gather_raw(table, key, fold=True)
 
 
 def _qgf_fwd(mode, table, key):
     from .fastgather import row_gather_raw
 
     # zero-width slice: carries the row count + dtype statically at no cost
-    return row_gather_raw(table, key), (key, table[:, :0])
+    return row_gather_raw(table, key, fold=True), (key, table[:, :0])
 
 
 def _qgf_bwd(mode, res, g):
@@ -295,12 +305,11 @@ def _qgf_bwd(mode, res, g):
 quad_gather_flat.defvjp(_qgf_fwd, _qgf_bwd)
 
 
-def _quad_atlas(atlas, sizes):
-    """[T, Hm, Wm, 3] -> [T, Hm, Wm, 12]: each entry = (t00, t01, t10, t11)
-    of its 2x2 neighbourhood with per-texture wrap-around (sizes are the
-    true (h, w) per row; the pad region is never addressed because UV
-    indices are clipped to the true size)."""
-    T_, Hm, Wm, _ = atlas.shape
+def _quad_atlas_flat(atlas, sizes):
+    """[T, Hmax, Wmax, 3] padded atlas -> UNPADDED flat quad table
+    [sum(h*w), 12]: per texture, each row holds (t00, t10, t01, t11) of its
+    2x2 neighbourhood with wrap-around; textures concatenate in order, so
+    row keys are base[t] + y*w + x with base the h*w prefix sums."""
     rows = []
     for t, (h, w) in enumerate(sizes):
         img = atlas[t, :h, :w]
@@ -308,11 +317,10 @@ def _quad_atlas(atlas, sizes):
         y1 = jnp.roll(img, -1, axis=0)
         xy1 = jnp.roll(x1, -1, axis=0)
         quad = jnp.concatenate([img, x1, y1, xy1], axis=-1)
-        quad = jnp.pad(quad, ((0, Hm - h), (0, Wm - w), (0, 0)))
-        rows.append(quad)
+        rows.append(quad.reshape(h * w, 12))
     if not rows:
-        return jnp.zeros((0, Hm, Wm, 12), dtype=atlas.dtype)
-    return jnp.stack(rows)
+        return jnp.zeros((0, 12), dtype=atlas.dtype)
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows)
 
 
 # --------------------------------------------------------------------------

@@ -34,12 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 CHUNK = 2048  # rays per streamed chunk
 SUB = 512  # rays per one-hot matmul (bounds W's VMEM footprint)
 TEXEL_TILE = 2048  # texel rows per output tile
-CH = 16  # payload channels incl. padding (12 used)
+CH = 16  # payload channel capacity incl. padding (12 or 6 used)
 
 
 def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = False):
-    """sorted_keys [N] int32 (ascending), sorted_vals [N, 12] f32 ->
-    dq [n_texels, 12] with dq[t] = sum of vals whose key == t.
+    """sorted_keys [N] int32 (ascending), sorted_vals [N, C<=16] f32 ->
+    dq [n_texels, C] with dq[t] = sum of vals whose key == t.
 
     Keys outside [0, n_texels) are dropped (parity with scatter
     mode="drop")."""
@@ -56,7 +56,9 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
         [sorted_vals, jnp.zeros((n_pad - n, sorted_vals.shape[1]), sorted_vals.dtype)]
     )
     # channel-major [CH, N]: minor dim is the long one (see module docstring)
-    vals_t = jnp.zeros((CH, n_pad), jnp.float32).at[:12, :].set(vals.T)
+    n_ch = sorted_vals.shape[1]
+    assert n_ch <= CH, n_ch
+    vals_t = jnp.zeros((CH, n_pad), jnp.float32).at[:n_ch, :].set(vals.T)
 
     # scalar-prefetched per-chunk key ranges drive the skip test
     kc = keys.reshape(n_chunks, CHUNK)  # (row-major over the [1, n_pad] layout)
@@ -124,4 +126,4 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
         out_shape=jax.ShapeDtypeStruct((CH, tex_pad), jnp.float32),
         interpret=interpret,
     )(lo, hi, keys, vals_t)
-    return out[:12, :n_texels].T
+    return out[:n_ch, :n_texels].T
