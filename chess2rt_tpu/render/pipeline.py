@@ -230,7 +230,11 @@ def compact_indices(alive, n: int, cap: int):
     scatter-set and ~20 ms for a cumsum + searchsorted — sorting the
     live-index keys IS the compaction."""
     keys = jnp.where(alive, jnp.arange(n, dtype=jnp.int32), n)
-    return jax.lax.sort(keys)[:cap]
+    out = jax.lax.sort(keys)
+    if cap <= n:
+        return out[:cap]
+    # tile-rounded capacities can exceed tiny frames: pad with the sentinel
+    return jnp.concatenate([out, jnp.full(cap - n, n, jnp.int32)])
 
 
 def continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds):
