@@ -41,10 +41,11 @@ def main():
     ap.add_argument("-o", "--output", default="/tmp/zaphod_sky.bmp")
     ap.add_argument("--samples", type=int, default=None, help="override DoF samples")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
-    ap.add_argument("--pallas", action="store_true",
-                    help="route DoF sampling through the fused Pallas ray-input "
-                         "kernel (steady-state 4.1s vs 4.3s at 1080p, but the "
-                         "first-run Mosaic compile takes ~6 min)")
+    ap.add_argument("--xla", action="store_true",
+                    help="use the pure-XLA pipeline instead of the fused Pallas "
+                         "ray-input kernel (the default: 1.93s vs 3.16s "
+                         "steady-state at 1080p on v5e after the round-3 merged "
+                         "texel+env fold gather; Mosaic first-compile is slower)")
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
@@ -66,7 +67,7 @@ def main():
     sc.environment.cubemap = make_sky_cubemap()
 
     packed, static = pack_scene(sc)
-    if args.pallas and not args.cpu:
+    if not args.xla and not args.cpu:
         import dataclasses
 
         static = dataclasses.replace(static, use_pallas=True)
