@@ -227,8 +227,8 @@ def main():
     # flagship scene (CSG + bitmaps + transforms + mirror); bounce rounds
     # run compacted (measured continuing set: ~92k rays at 1080p, capacity
     # 129600 with a lax.cond full-width fallback) behind an early-exit
-    # while_loop.  Measured round 2: 263.7 ms/frame vs 501.9 ms for the
-    # pure-XLA path on the same machine.
+    # while_loop.  Measured round 3 (honest, key-jittered): 154.1 ms/frame vs
+    # ~500 ms-class for the pure-XLA path on the same machine.
     static = dataclasses.replace(
         static, use_pallas=True, fast_forward=True, bounce_capacity=2073600 // 16
     )
