@@ -83,9 +83,10 @@ def main_grad():
 
     # STEPS_PER_CALL fwd+bwd steps inside one program (see main(): one
     # program execution carries ~30 ms tunnel roundtrip latency; measuring
-    # per-step throughput requires amortizing it).  Every grad leaf feeds
-    # the checksum so no part of the backward can be dead-code-eliminated.
-    STEPS_PER_CALL = 4
+    # per-step throughput requires amortizing it — every step is a REAL,
+    # distinct step thanks to the key-jittered camera below).  Every grad
+    # leaf feeds the checksum so no part of the backward can be DCE'd.
+    STEPS_PER_CALL = 8
 
     def many(p, keys):
         def body(acc, k):

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 # multiplies gathered bytes by K, so it only pays for index-heavy gathers
 # (the per-ray texel fetch), not for few-index compaction gathers.
 U16_FAST_ROWS = 450_000
-MAX_FOLD = 4
+MAX_FOLD = 8
 
 
 def row_gather_raw(table, idx, fold=False):
@@ -78,23 +78,24 @@ def row_gather_raw(table, idx, fold=False):
     return out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def row_gather(table, idx, unique_indices=False, indices_are_sorted=False):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def row_gather(table, idx, unique_indices=False, indices_are_sorted=False, fold=False):
     """Differentiable ``table[idx]`` (2-D table, integer idx) that takes the
     u16-pair fast path forward and the standard scatter-add transpose
     backward.  ``unique_indices`` / ``indices_are_sorted`` describe ``idx``
     and are forwarded to the backward scatter (e.g. compaction selections
-    are sorted and unique, which XLA lowers much faster)."""
-    return row_gather_raw(table, idx)
+    are sorted and unique, which XLA lowers much faster); ``fold`` allows
+    K-row folding for oversize tables (see :func:`row_gather_raw`)."""
+    return row_gather_raw(table, idx, fold=fold)
 
 
-def _row_gather_fwd(table, idx, unique_indices, indices_are_sorted):
+def _row_gather_fwd(table, idx, unique_indices, indices_are_sorted, fold):
     # residual leaves must be JAX types: a zero-WIDTH slice of the table
     # carries its row count and dtype statically at zero cost
-    return row_gather_raw(table, idx), (idx, table[:, :0])
+    return row_gather_raw(table, idx, fold=fold), (idx, table[:, :0])
 
 
-def _row_gather_bwd(unique_indices, indices_are_sorted, res, g):
+def _row_gather_bwd(unique_indices, indices_are_sorted, fold, res, g):
     idx, proto = res
     shape = (proto.shape[0], g.shape[-1])
     dtype = proto.dtype

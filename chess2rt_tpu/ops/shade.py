@@ -271,14 +271,20 @@ def _qgf_bwd(mode, res, g):
     gf = g.reshape(flat_n, C)
     if mode == "histogram" and flat_n > 1:
         # sort, then accumulate on the MXU (ops/texel_hist.py) instead of
-        # the monotone scatter-add
+        # the monotone scatter-add.  Only (key, lane-id) go through the
+        # bitonic sort — a 13-operand payload sort costs ~operand-count
+        # times the 2-operand one (round-3 grad probe: ~11.5 ms of a
+        # 24.6 ms step was texel machinery) — and the payload follows via
+        # one permutation row gather, which ops/fastgather.py makes cheap.
+        from .fastgather import row_gather_raw
         from .texel_hist import texel_histogram
 
-        ops = (kf,) + tuple(gf[:, c] for c in range(C))
-        s = jax.lax.sort(ops, num_keys=1)
+        perm = jax.lax.iota(jnp.int32, flat_n)
+        sk, sperm = jax.lax.sort((kf, perm), num_keys=1)
+        sg = row_gather_raw(gf, sperm, fold=True)
         dq = texel_histogram(
-            s[0],
-            jnp.stack(s[1:], axis=-1),
+            sk,
+            sg,
             n_rows,
             interpret=jax.default_backend() != "tpu",
         )

@@ -139,8 +139,9 @@ def main():
         if stage == "sel":
             return color.sum() + sel.sum().astype(jnp.float32)
         lane_live = jnp.arange(cap) < count
-        g = row_gather(jnp.concatenate([atten, ro, rd], axis=-1), sel, True, True)
-        if stage == "selgather":
+        g = row_gather(jnp.concatenate([atten, ro, rd], axis=-1), sel, True, True,
+                       stage == "selgather_fold")
+        if stage in ("selgather", "selgather_fold"):
             return color.sum() + g.sum()
         tgt = jnp.where(lane_live, sel, n)
         out = color.at[tgt].add(g[:, 0:3], mode="drop", indices_are_sorted=True)
@@ -150,6 +151,7 @@ def main():
         "kern": kern_fn,
         "sel": lambda p, aa: _upto(p, aa, "sel"),
         "selgather": lambda p, aa: _upto(p, aa, "selgather"),
+        "selgather_fold": lambda p, aa: _upto(p, aa, "selgather_fold"),
         "scatterback": lambda p, aa: _upto(p, aa, "scatterback"),
         "combine": combine_fn,
         "combine_color": combine_color_fn,

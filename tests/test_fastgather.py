@@ -81,3 +81,14 @@ def test_vjp_drops_sentinel_rows():
     expect = np.zeros((8, 3), np.float32)
     expect[2] = 1.0
     np.testing.assert_array_equal(g, expect)
+
+
+def test_raw_bit_exact_max_fold():
+    rows = FG.U16_FAST_ROWS * FG.MAX_FOLD - 3  # K = MAX_FOLD with padding
+    rng = np.random.default_rng(3)
+    tab = jnp.asarray(rng.standard_normal((rows, 3)).astype(np.float32))
+    idx = jnp.asarray(
+        np.concatenate([rng.integers(0, rows, 2048), [0, rows - 1]]).astype(np.int32)
+    )
+    out = jax.jit(lambda t, i: FG.row_gather_raw(t, i, fold=True))(tab, idx)
+    np.testing.assert_array_equal(out, tab[idx])
