@@ -7,3 +7,5 @@ from .bitmap import (  # noqa: F401
     save_image,
 )
 from .bmp import BmpImage, load_bmp, load_bmp_file, save_bmp, save_bmp_file  # noqa: F401
+from .buffer import Buffer  # noqa: F401
+from .image import Image, image_from_2d  # noqa: F401

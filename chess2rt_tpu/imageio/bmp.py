@@ -27,6 +27,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..utils.color import srgb_u8
+from .buffer import Buffer
+from .image import Image, image_from_2d
 
 _FILE_HEADER = struct.Struct("<2sIHHI")  # signature, fileSize, res1, res2, offsetToPixelArray
 
@@ -75,29 +77,40 @@ class BmpImage:
     def height(self) -> int:
         return self.pixels_u32.shape[0]
 
+    @property
+    def image(self) -> Image:
+        """The decoded pixels as the reference's 2-D container
+        (``Image!uint``, image.d:18-60) — zero-copy view."""
+        return image_from_2d(self.pixels_u32)
+
     def to_float_rgb(self) -> np.ndarray:
-        """u32 pixels -> float32 `[h, w, 3]` rgb in [0, 1] (Color(uint), color.d:60-66)."""
-        p = self.pixels_u32
-        r = ((p >> 16) & 0xFF).astype(np.float32)
-        g = ((p >> 8) & 0xFF).astype(np.float32)
-        b = (p & 0xFF).astype(np.float32)
-        return np.stack([r, g, b], axis=-1) * np.float32(1.0 / 255.0)
+        """u32 pixels -> float32 `[h, w, 3]` rgb in [0, 1]: convertTo
+        (image.d:3-16) with the Color(uint) converter (color.d:60-66)."""
+
+        def to_color(p):
+            r = ((p >> 16) & 0xFF).astype(np.float32)
+            g = ((p >> 8) & 0xFF).astype(np.float32)
+            b = (p & 0xFF).astype(np.float32)
+            return np.stack([r, g, b], axis=-1) * np.float32(1.0 / 255.0)
+
+        return self.image.convert_to(to_color).as_2d()
 
 
 def load_bmp(data: bytes) -> BmpImage:
-    signature, file_size, _r1, _r2, offset = _FILE_HEADER.unpack_from(data, 0)
+    # header parsing streams through the reference's buffer container
+    # (UntypedBuffer reads that advance the window, bmp.d:60-91)
+    buf = Buffer(wrap=data)
+    signature, file_size, _r1, _r2, offset = buf.read("<2sIHHI")
     if signature != b"BM":
         raise ValueError("Only files beginning with 'BM' are supported!")
 
-    (version,) = struct.unpack_from("<i", data, 14)
+    version = buf.read("<i")
     if version not in _SUPPORTED_VERSIONS:
         raise ValueError(f"Unsupported DIB header size: {version}")
 
     dib = DibHeader(version=version)
-    pos = 14 + 4
     if version == V0:
-        dib.width, dib.height, dib.color_planes, dib.bpp = struct.unpack_from("<hhHH", data, pos)
-        pos += 8
+        dib.width, dib.height, dib.color_planes, dib.bpp = buf.read("<hhHH")
     else:
         (
             dib.width,
@@ -110,27 +123,20 @@ def load_bmp(data: bytes) -> BmpImage:
             dib.ppm_y,
             dib.colors_used,
             dib.colors_important,
-        ) = struct.unpack_from("<iiHHIIiiII", data, pos)
-        pos += 36
+        ) = buf.read("<iiHHIIiiII")
     if version >= V2:
-        masks = list(struct.unpack_from("<III", data, pos))
-        pos += 12
+        masks = list(buf.read("<III"))
         if version >= V3:
-            masks.append(struct.unpack_from("<I", data, pos)[0])
-            pos += 4
+            masks.append(buf.read("<I"))
         else:
             masks.append(0)
         dib.bit_masks = tuple(masks)
     if version >= V4:
-        dib.color_space_type = data[pos : pos + 4]
-        pos += 4
-        dib.color_space_endpoints = struct.unpack_from("<9i", data, pos)
-        pos += 36
-        dib.gamma = struct.unpack_from("<III", data, pos)
-        pos += 12
+        dib.color_space_type = buf.read_array(4)
+        dib.color_space_endpoints = buf.read("<9i")
+        dib.gamma = buf.read("<III")
     if version >= V5:
-        dib.intent, dib.profile_data, dib.profile_size, dib.reserved = struct.unpack_from("<IIII", data, pos)
-        pos += 16
+        dib.intent, dib.profile_data, dib.profile_size, dib.reserved = buf.read("<IIII")
 
     if dib.color_planes != 1:
         raise ValueError(f"Only .bmp files with 1 color plane are supported. Not: {dib.color_planes}")
@@ -146,7 +152,7 @@ def load_bmp(data: bytes) -> BmpImage:
         else:
             palette_size = dib.colors_used if dib.colors_used else 2**dib.bpp
             entry_size = 4
-        raw = np.frombuffer(data, np.uint8, count=palette_size * entry_size, offset=pos).reshape(
+        raw = np.frombuffer(buf.read_array(palette_size * entry_size), np.uint8).reshape(
             palette_size, entry_size
         )
         bgr = raw[:, :3].astype(np.uint32)
@@ -231,9 +237,12 @@ def save_bmp(rgb: np.ndarray, pad_rows: bool = False, use_native: bool = True) -
     pad = (-row_bytes) % 4 if pad_rows else 0
     file_size = 14 + 40 + (row_bytes + pad) * h
 
-    header = _FILE_HEADER.pack(b"BM", file_size, 0, 0, 14 + 40)
+    # assembled through the reference's growable buffer (UntypedBuffer
+    # writes with doubling growth, bmp.d:195-237 + buffer.d:170-186)
+    out = Buffer()
+    out.write_struct("<2sIHHI", b"BM", file_size, 0, 0, 14 + 40)
     ppm = _dpi_to_ppm(72.0)
-    dib = struct.pack("<iiiHHIIiiII", 40, w, h, 1, 24, 0, file_size - 54, ppm, ppm, 0, 0)
+    out.write_struct("<iiiHHIIiiII", 40, w, h, 1, 24, 0, file_size - 54, ppm, ppm, 0, 0)
 
     r = srgb_u8(rgb[..., 0])
     g = srgb_u8(rgb[..., 1])
@@ -241,8 +250,8 @@ def save_bmp(rgb: np.ndarray, pad_rows: bool = False, use_native: bool = True) -
     rows = np.stack([b, g, r], axis=-1).reshape(h, row_bytes)  # BGR byte order
     if pad:
         rows = np.concatenate([rows, np.zeros((h, pad), np.uint8)], axis=1)
-    body = rows[::-1].tobytes()  # bottom-up scanlines
-    return header + dib + body
+    out.write(rows[::-1].tobytes())  # bottom-up scanlines
+    return bytes(out)
 
 
 def save_bmp_file(path: str, rgb: np.ndarray, pad_rows: bool = False) -> None:

@@ -69,6 +69,11 @@ def main():
 
     kern = PT.build_round0_kernel(static, WIDTH, HEIGHT)
     renderer = PT.build_flagship_renderer(static, WIDTH, HEIGHT)
+    # depth-limited renderers: marginal cost per bounce round
+    renderer_r1 = PT.build_flagship_renderer(
+        dataclasses.replace(static, max_trace_depth=1), WIDTH, HEIGHT)
+    renderer_r3 = PT.build_flagship_renderer(
+        dataclasses.replace(static, max_trace_depth=3), WIDTH, HEIGHT)
 
     def kern_fn(p, aa):
         o = kern(p, jnp.asarray(aa, jnp.float32).reshape(2))
@@ -85,6 +90,12 @@ def main():
 
     def tap_fn(p, aa):
         return renderer.tap(p, jnp.asarray(aa, jnp.float32).reshape(2)).sum()
+
+    def tap_r1_fn(p, aa):
+        return renderer_r1.tap(p, jnp.asarray(aa, jnp.float32).reshape(2)).sum()
+
+    def tap_r3_fn(p, aa):
+        return renderer_r3.tap(p, jnp.asarray(aa, jnp.float32).reshape(2)).sum()
 
     def frame_fn(p, aa):
         key = jax.random.PRNGKey(0)
@@ -159,6 +170,8 @@ def main():
         "combine_book": combine_book_fn,
         "compact": compact_fn,
         "tap": tap_fn,
+        "tap_r1": tap_r1_fn,
+        "tap_r3": tap_r3_fn,
         "frame": frame_fn,
     }
     for stage in stages:

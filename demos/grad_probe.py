@@ -62,7 +62,7 @@ def jitter(p, k):
 def main():
     from chess2rt_tpu.render.pipeline import render_frame
 
-    stages = sys.argv[1:] or ["fwd", "vg", "vg_scatter", "vg_notex", "vg_xla"]
+    stages = sys.argv[1:] or ["fwd", "vg", "vg_scatter", "vg_notex", "vg_xla", "vg_d0"]
     packed, static0 = build(W, H)
     static = dataclasses.replace(
         static0, aa_enabled=False, bounce_capacity=W * H // 16, use_pallas=True
@@ -103,6 +103,14 @@ def main():
                 l, g = jax.value_and_grad(l2)(jitter(p, k))
                 return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
             timeit(name, scanit(vgx), packed)
+        elif name == "vg_d0":
+            # no bounce rounds: isolates the bounce-machinery share of bwd
+            st0 = dataclasses.replace(static, max_trace_depth=0)
+            l2 = loss_for(st0)
+            def vg4(k, p, l2=l2):
+                l, g = jax.value_and_grad(l2)(jitter(p, k))
+                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            timeit(name, scanit(vg4), packed)
         elif name == "vg_notex":
             st = dataclasses.replace(static, train_textures=False)
             l2 = loss_for(st)
