@@ -159,6 +159,15 @@ class SceneStatic:
     # compacted ray buffer of this many lanes when the live set fits
     # (lax.cond falls back to full width when it doesn't); None = off
     bounce_capacity: Optional[int] = None
+    # fused-kernel bounce strategy (build_flagship_renderer):
+    # "compact" re-enters the ray-input kernel at bounce_capacity width
+    # (sort + gather + scatter-back, ~10.8 ms/tap fixed at 1080p);
+    # "full" re-enters it at full frame width with an all-dead cond-skip —
+    # no compaction machinery at all.  With the kernel making the per-ray
+    # round cost tiny, "full" wins whenever the combine's per-index gather
+    # cost at full width undercuts the compaction fixed cost (measured on
+    # the flagship: demos/compaction_probe.py, demos/forward_probe.py)
+    bounce_mode: str = "compact"
     # False stops gradients at the bitmap texel atlas: its VJP is a
     # per-ray scatter-add (slow on TPU); disable when texels aren't being
     # optimized

@@ -1148,12 +1148,19 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
     n = width * height
 
     # bounce rounds re-enter the fused kernel at compacted width (rounded
-    # up to whole kernel tiles)
+    # up to whole kernel tiles) — or at FULL width (bounce_mode="full"),
+    # which skips the sort/gather/scatter compaction machinery entirely
+    # and relies on the all-dead cond-skip: measured faster on the
+    # flagship, where rounds 2+ are all-dead and the compaction fixed cost
+    # (~10.8 ms/tap at 1080p) exceeds one full-width kernel+combine round
     cap = static.bounce_capacity
-    use_pallas_bounce = has_refl and cap and cap < n
+    full_bounce = has_refl and static.bounce_mode == "full"
+    use_pallas_bounce = has_refl and cap and cap < n and not full_bounce
     if use_pallas_bounce:
         cap = -(-cap // TILE_N) * TILE_N
         kern_bounce = build_diff_round0(static, width, height, interpret, n_rays=cap)
+    if full_bounce:
+        kern_fullw = build_diff_round0(static, width, height, interpret, n_rays=n)
 
     def combine(packed, o, dirs_or_none):
         return combine_outputs(packed, static, o, dirs_or_none)
@@ -1218,9 +1225,32 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
 
         return jax.lax.cond(count <= cap, compact_path, full_path, color, atten0, alive, orig, dir)
 
+    def fullwidth_bounces(packed, color, atten, alive, orig, dir, n_rounds):
+        """Bounce rounds at full frame width through the ray-input kernel:
+        no compaction at all — each live round costs one kernel launch +
+        one combine; all-dead rounds cost nothing (cond-skip)."""
+
+        def one_round(carry):
+            color, at, a, o3, d3 = carry
+            o = kern_fullw(packed, o3, d3)
+            c, cont, mult, ro, rd = combine(packed, o, d3 if static.has_env else None)
+            color = color + jnp.where(a[..., None], at * c, 0.0)
+            cont = cont & a
+            at = at * jnp.where(cont[..., None], mult, 1.0)
+            o3 = jnp.where(cont[..., None], ro, o3)
+            d3 = jnp.where(cont[..., None], rd, d3)
+            return color, at, cont, o3, d3
+
+        carry = (color, atten, alive, orig, dir)
+        for _ in range(n_rounds):
+            carry = jax.lax.cond(carry[2].any(), one_round, lambda c: c, carry)
+        return carry[0]
+
     def _finish_bounces(packed, color, cont, atten, ro, rd):
         if not has_refl:
             return color
+        if full_bounce:
+            return fullwidth_bounces(packed, color, atten, cont, ro, rd, rounds - 1)
         if use_pallas_bounce:
             return pallas_bounces(packed, color, atten, cont, ro, rd, rounds - 1)
         return P.continue_bounces(packed, static, color, atten, cont, ro, rd, rounds - 1)

@@ -69,6 +69,8 @@ def main():
 
     kern = PT.build_round0_kernel(static, WIDTH, HEIGHT)
     renderer = PT.build_flagship_renderer(static, WIDTH, HEIGHT)
+    renderer_full = PT.build_flagship_renderer(
+        dataclasses.replace(static, bounce_mode="full"), WIDTH, HEIGHT)
     # depth-limited renderers: marginal cost per bounce round
     renderer_r1 = PT.build_flagship_renderer(
         dataclasses.replace(static, max_trace_depth=1), WIDTH, HEIGHT)
@@ -90,6 +92,13 @@ def main():
 
     def tap_fn(p, aa):
         return renderer.tap(p, jnp.asarray(aa, jnp.float32).reshape(2)).sum()
+
+    def tap_full_fn(p, aa):
+        return renderer_full.tap(p, jnp.asarray(aa, jnp.float32).reshape(2)).sum()
+
+    def frame_full_fn(p, aa):
+        key = jax.random.PRNGKey(0)
+        return renderer_full(p, key).sum() + 0.0 * jnp.asarray(aa[0])
 
     def tap_r1_fn(p, aa):
         return renderer_r1.tap(p, jnp.asarray(aa, jnp.float32).reshape(2)).sum()
@@ -170,13 +179,15 @@ def main():
         "combine_book": combine_book_fn,
         "compact": compact_fn,
         "tap": tap_fn,
+        "tap_full": tap_full_fn,
         "tap_r1": tap_r1_fn,
         "tap_r3": tap_r3_fn,
         "frame": frame_fn,
+        "frame_full": frame_full_fn,
     }
     for stage in stages:
         try:
-            time_fn(stage, fns[stage], packed, iters=(4 if stage == "frame" else ITERS))
+            time_fn(stage, fns[stage], packed, iters=(4 if stage.startswith("frame") else ITERS))
         except Exception as e:
             print(f"{stage}: FAILED {type(e).__name__}: {e}", flush=True)
 

@@ -111,6 +111,14 @@ def main():
                 l, g = jax.value_and_grad(l2)(jitter(p, k))
                 return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
             timeit(name, scanit(vg4), packed)
+        elif name == "vg_full":
+            # bounce rounds at full width (no compaction machinery)
+            st = dataclasses.replace(static, bounce_mode="full")
+            l2 = loss_for(st)
+            def vg5(k, p, l2=l2):
+                l, g = jax.value_and_grad(l2)(jitter(p, k))
+                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            timeit(name, scanit(vg5), packed)
         elif name == "vg_notex":
             st = dataclasses.replace(static, train_textures=False)
             l2 = loss_for(st)
