@@ -224,14 +224,20 @@ def main():
     import dataclasses
 
     packed, static = build()
-    # round-2 config: the fused Pallas primary kernel covers the full
+    # round-3 config: the fused Pallas primary kernel covers the full
     # flagship scene (CSG + bitmaps + transforms + mirror); bounce rounds
-    # run compacted (measured continuing set: ~92k rays at 1080p, capacity
-    # 129600 with a lax.cond full-width fallback) behind an early-exit
-    # while_loop.  Measured round 3 (honest, key-jittered): 154.1 ms/frame vs
-    # ~500 ms-class for the pure-XLA path on the same machine.
+    # re-enter the ray-input kernel at FULL frame width with an all-dead
+    # cond-skip (bounce_mode="full") — the compaction machinery's fixed
+    # cost (2M sort + row gather + scatter-back, ~10.8 ms/tap) exceeds a
+    # whole full-width kernel+combine round now that the kernel made the
+    # per-ray round cost tiny (demos/compaction_probe.py).  Measured round
+    # 3 (honest, key-jittered): 107 ms/frame vs ~500 ms-class pure XLA.
     static = dataclasses.replace(
-        static, use_pallas=True, fast_forward=True, bounce_capacity=2073600 // 16
+        static,
+        use_pallas=True,
+        fast_forward=True,
+        bounce_capacity=2073600 // 16,
+        bounce_mode="full",
     )
     from chess2rt_tpu.render.pipeline import AA_KERNEL, begin_frame, render_frame, render_samples
 

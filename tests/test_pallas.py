@@ -114,6 +114,27 @@ class TestKernelParity:
         d = np.abs(out - ref).max(-1)
         assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
 
+    def test_fullwidth_bounce_mode_bitexact(self, data_dir):
+        """bounce_mode="full" (bounce rounds at frame width, no compaction)
+        must be bit-identical to the compacted mode — same kernel, same
+        combine, only the lane layout differs."""
+        import dataclasses
+
+        sc = _scene(data_dir, w=64, h=48)
+        m = T.Reflection(name="m", color=(0.9, 0.9, 0.9))
+        sc.shaders.append(m)
+        sc.nodes.append(
+            T.Node(name="ball", geometry=T.Sphere(name="b", center=(0, 60, 120), R=40.0), shader=m)
+        )
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer
+
+        st_c = dataclasses.replace(static, aa_enabled=False, bounce_capacity=1024)
+        st_f = dataclasses.replace(st_c, bounce_mode="full")
+        out_c = np.asarray(build_flagship_renderer(st_c, 64, 48, interpret=True)(packed))
+        out_f = np.asarray(build_flagship_renderer(st_f, 64, 48, interpret=True)(packed))
+        np.testing.assert_array_equal(out_c, out_f)
+
     def test_aa_taps_match_xla(self, data_dir):
         """5-tap AA through the flagship renderer == the XLA AA pipeline."""
         sc = _scene(data_dir, w=32, h=24)
