@@ -152,7 +152,11 @@ def main_check():
     w, h = 480, 272
     packed, static = build(w, h)
     static_p = dataclasses.replace(
-        static, use_pallas=True, aa_enabled=False, bounce_capacity=w * h // 16
+        static,
+        use_pallas=True,
+        aa_enabled=False,
+        bounce_capacity=w * h // 16,
+        bounce_mode="full",  # match the headline bench's flagship config
     )
     static_x = dataclasses.replace(static, use_pallas=False, aa_enabled=False)
     key = jax.random.PRNGKey(0)

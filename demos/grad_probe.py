@@ -111,6 +111,20 @@ def main():
                 l, g = jax.value_and_grad(l2)(jitter(p, k))
                 return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
             timeit(name, scanit(vg4), packed)
+        elif name == "vg_d0_notex":
+            st = dataclasses.replace(static, max_trace_depth=0, train_textures=False)
+            l2 = loss_for(st)
+            def vg6(k, p, l2=l2):
+                l, g = jax.value_and_grad(l2)(jitter(p, k))
+                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            timeit(name, scanit(vg6), packed)
+        elif name == "vg_sorted":
+            st = dataclasses.replace(static, texel_grad_mode="sorted")
+            l2 = loss_for(st)
+            def vg7(k, p, l2=l2):
+                l, g = jax.value_and_grad(l2)(jitter(p, k))
+                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            timeit(name, scanit(vg7), packed)
         elif name == "vg_full":
             # bounce rounds at full width (no compaction machinery)
             st = dataclasses.replace(static, bounce_mode="full")
