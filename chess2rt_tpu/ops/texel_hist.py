@@ -111,14 +111,33 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
             acc = jnp.zeros((CH, TEXEL_TILE), jnp.float32)
             for s in range(CHUNK // SUB):
                 k_sub = kbuf[:, pl.ds(s * SUB, SUB)] - tile_lo  # [1, SUB]
-                # W_t[r, n] = 1[k_sub[n] == r] — VPU compares, no gathers
+                # W_t[r, n] = 1[k_sub[n] == r] — VPU compares, no gathers.
+                # bf16 is EXACT for 0/1, and the package-wide
+                # jax_default_matmul_precision=highest would otherwise run
+                # this f32 dot as SIX bf16 MXU passes; the histogram's M
+                # dim is only CH=16 (12.5% MXU utilization), making those
+                # passes the whole kernel cost (5.6 ms of a 6.4 ms texel
+                # VJP at 307k keys, round-3 texel_probe).  Splitting the
+                # f32 cotangents into a hi+lo bf16 pair keeps ~16 mantissa
+                # bits (error ~2^-17, inside the 2e-5 grad parity bound)
+                # at TWO passes: measured 5.66 -> ~2 ms.
                 rows = jax.lax.broadcasted_iota(jnp.int32, (TEXEL_TILE, SUB), 0)
-                w_t = (jnp.broadcast_to(k_sub, (TEXEL_TILE, SUB)) == rows).astype(jnp.float32)
-                g_sub = vbuf[:, pl.ds(s * SUB, SUB)]  # [CH, SUB]
+                w_t = (jnp.broadcast_to(k_sub, (TEXEL_TILE, SUB)) == rows).astype(
+                    jnp.bfloat16
+                )
+                g_sub = vbuf[:, pl.ds(s * SUB, SUB)]  # [CH, SUB] f32
+                g_hi = g_sub.astype(jnp.bfloat16)
+                g_lo = (g_sub - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 # contract the SUB (ray) axis of both: [CH, TEXEL_TILE]
-                acc = acc + jax.lax.dot_general(
-                    g_sub, w_t, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                dn = (((1,), (1,)), ((), ()))
+                acc = (
+                    acc
+                    + jax.lax.dot_general(
+                        g_hi, w_t, dn, preferred_element_type=jnp.float32
+                    )
+                    + jax.lax.dot_general(
+                        g_lo, w_t, dn, preferred_element_type=jnp.float32
+                    )
                 )
             out_ref[...] += acc
             return 0
