@@ -128,15 +128,23 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
                 g_sub = vbuf[:, pl.ds(s * SUB, SUB)]  # [CH, SUB] f32
                 g_hi = g_sub.astype(jnp.bfloat16)
                 g_lo = (g_sub - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                # contract the SUB (ray) axis of both: [CH, TEXEL_TILE]
+                # contract the SUB (ray) axis of both: [CH, TEXEL_TILE].
+                # precision=DEFAULT: the package-wide highest-precision
+                # default would stamp contract_precision<fp32> on a bf16
+                # matmul, which Mosaic rejects ("Bad lhs type") — the
+                # hi/lo operand split IS the precision mechanism here.
                 dn = (((1,), (1,)), ((), ()))
                 acc = (
                     acc
                     + jax.lax.dot_general(
-                        g_hi, w_t, dn, preferred_element_type=jnp.float32
+                        g_hi, w_t, dn,
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32,
                     )
                     + jax.lax.dot_general(
-                        g_lo, w_t, dn, preferred_element_type=jnp.float32
+                        g_lo, w_t, dn,
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32,
                     )
                 )
             out_ref[...] += acc
