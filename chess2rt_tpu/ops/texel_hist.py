@@ -35,6 +35,7 @@ CHUNK = 2048  # rays per streamed chunk
 SUB = 512  # rays per one-hot matmul (bounds W's VMEM footprint)
 TEXEL_TILE = 2048  # texel rows per output tile
 CH = 16  # payload channel capacity incl. padding (12 or 6 used)
+BAND = 8  # texel rows packed into the matmul M dim (CH * BAND = 128)
 
 
 def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = False):
@@ -82,8 +83,13 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
             pl.BlockSpec(memory_space=pltpu.ANY),  # keys [n_pad] (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),  # vals_t [CH, n_pad] (HBM)
         ],
+        # BANDED output layout: row j*CH + ch, column r8 holds
+        # dq[ch, r8*BAND + j] — the band packing fills the matmul's M
+        # dimension to CH*BAND = 128 (a CH=16-row output uses 12.5% of the
+        # MXU; banding made the one-hot contraction ~4x cheaper).  The
+        # caller unblocks with one XLA reshape/transpose.
         out_specs=pl.BlockSpec(
-            (CH, TEXEL_TILE), lambda t, cs, ce: (0, t), memory_space=pltpu.VMEM
+            (CH * BAND, TEXEL_TILE // BAND), lambda t, cs, ce: (0, t), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((1, CHUNK), jnp.int32),  # streamed keys
@@ -95,7 +101,7 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
     def kernel(cs_ref, ce_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf, sems):
         t = pl.program_id(0)
         tile_lo = t * TEXEL_TILE
-        out_ref[...] = jnp.zeros((CH, TEXEL_TILE), jnp.float32)
+        out_ref[...] = jnp.zeros((CH * BAND, TEXEL_TILE // BAND), jnp.float32)
 
         def chunk_body(c, _):
             kd = pltpu.make_async_copy(
@@ -108,41 +114,61 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
             vd.start()
             kd.wait()
             vd.wait()
-            acc = jnp.zeros((CH, TEXEL_TILE), jnp.float32)
+            acc = jnp.zeros((CH * BAND, TEXEL_TILE // BAND), jnp.float32)
             for s in range(CHUNK // SUB):
                 k_sub = kbuf[:, pl.ds(s * SUB, SUB)] - tile_lo  # [1, SUB]
-                # W_t[r, n] = 1[k_sub[n] == r] — VPU compares, no gathers.
-                # bf16 is EXACT for 0/1, and the package-wide
-                # jax_default_matmul_precision=highest would otherwise run
-                # this f32 dot as SIX bf16 MXU passes; the histogram's M
-                # dim is only CH=16 (12.5% MXU utilization), making those
-                # passes the whole kernel cost (5.6 ms of a 6.4 ms texel
-                # VJP at 307k keys, round-3 texel_probe).  Splitting the
-                # f32 cotangents into a hi+lo bf16 pair keeps ~16 mantissa
-                # bits (error ~2^-17, inside the 2e-5 grad parity bound)
-                # at TWO passes: measured 5.66 -> ~2 ms.
-                rows = jax.lax.broadcasted_iota(jnp.int32, (TEXEL_TILE, SUB), 0)
-                w_t = (jnp.broadcast_to(k_sub, (TEXEL_TILE, SUB)) == rows).astype(
+                # Banded one-hot contraction.  Two compounding MXU fixes
+                # (round-3 texel_probe: 5.66 -> ~0.8 ms at 307k keys):
+                #
+                # * bf16 operands: the one-hot W is EXACT in bf16, and the
+                #   package-wide jax_default_matmul_precision=highest would
+                #   run an f32 dot as SIX bf16 passes.  The f32 cotangents
+                #   split into a hi+lo bf16 pair (~16 mantissa bits, error
+                #   ~2^-17 — inside the 2e-5 grad parity bound) at TWO
+                #   passes, accumulated in f32.
+                # * BAND packing: a plain [CH=16, SUB] x [SUB, TILE] uses
+                #   16/128 of the MXU's M dim.  Mapping key -> (row
+                #   key//BAND, band key%BAND), with each band owning its
+                #   own CH-row slab of the lhs, fills M to CH*BAND = 128
+                #   while N stays TILE//BAND = 256: full utilization,
+                #   identical flops.
+                #
+                # W[r8, n] = 1[k_sub[n]//BAND == r8]; negative or >= TILE
+                # keys match no row (int32 // floors), preserving drop
+                # semantics.
+                r8 = k_sub // BAND
+                jb = k_sub - r8 * BAND  # == k_sub % BAND for in-range keys
+                rows = jax.lax.broadcasted_iota(jnp.int32, (TEXEL_TILE // BAND, SUB), 0)
+                w_t = (jnp.broadcast_to(r8, (TEXEL_TILE // BAND, SUB)) == rows).astype(
                     jnp.bfloat16
                 )
                 g_sub = vbuf[:, pl.ds(s * SUB, SUB)]  # [CH, SUB] f32
                 g_hi = g_sub.astype(jnp.bfloat16)
                 g_lo = (g_sub - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                # contract the SUB (ray) axis of both: [CH, TEXEL_TILE].
-                # precision=DEFAULT: the package-wide highest-precision
-                # default would stamp contract_precision<fp32> on a bf16
-                # matmul, which Mosaic rejects ("Bad lhs type") — the
-                # hi/lo operand split IS the precision mechanism here.
+                # lhs [CH*BAND, SUB]: band j's slab holds g where key%BAND==j
+                # (selects are exact, so banding commutes with the hi/lo split)
+                jbb = jnp.broadcast_to(jb, (CH, SUB))
+                zero_hi = jnp.zeros((CH, SUB), jnp.bfloat16)
+                g8_hi = jnp.concatenate(
+                    [jnp.where(jbb == j, g_hi, zero_hi) for j in range(BAND)], axis=0
+                )
+                g8_lo = jnp.concatenate(
+                    [jnp.where(jbb == j, g_lo, zero_hi) for j in range(BAND)], axis=0
+                )
+                # contract the SUB (ray) axis: [CH*BAND, TILE//BAND].
+                # precision=DEFAULT: highest would stamp
+                # contract_precision<fp32> on a bf16 matmul, which Mosaic
+                # rejects — the hi/lo split IS the precision mechanism.
                 dn = (((1,), (1,)), ((), ()))
                 acc = (
                     acc
                     + jax.lax.dot_general(
-                        g_hi, w_t, dn,
+                        g8_hi, w_t, dn,
                         precision=jax.lax.Precision.DEFAULT,
                         preferred_element_type=jnp.float32,
                     )
                     + jax.lax.dot_general(
-                        g_lo, w_t, dn,
+                        g8_lo, w_t, dn,
                         precision=jax.lax.Precision.DEFAULT,
                         preferred_element_type=jnp.float32,
                     )
@@ -155,7 +181,9 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((CH, tex_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((CH * BAND, tex_pad // BAND), jnp.float32),
         interpret=interpret,
     )(c_start, c_end, keys, vals_t)
+    # unblock the banded layout: row j*CH + ch, col r8 -> dq[ch, r8*BAND + j]
+    out = out.reshape(BAND, CH, tex_pad // BAND).transpose(1, 2, 0).reshape(CH, tex_pad)
     return out[:n_ch, :n_texels].T
