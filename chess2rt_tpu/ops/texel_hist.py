@@ -84,10 +84,11 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
             pl.BlockSpec(memory_space=pltpu.ANY),  # vals_t [CH, n_pad] (HBM)
         ],
         # BANDED output layout: row j*CH + ch, column r8 holds
-        # dq[ch, r8*BAND + j] — the band packing fills the matmul's M
-        # dimension to CH*BAND = 128 (a CH=16-row output uses 12.5% of the
-        # MXU; banding made the one-hot contraction ~4x cheaper).  The
-        # caller unblocks with one XLA reshape/transpose.
+        # dq[ch, j*P + r8] with P = TILE//BAND — the band packing fills
+        # the matmul's M dimension to CH*BAND = 128 (a CH=16-row output
+        # uses 12.5% of the MXU; banding made the one-hot contraction ~4x
+        # cheaper).  The caller unblocks with one XLA reshape/transpose
+        # whose minor axis stays P-wide (row-granular, cheap).
         out_specs=pl.BlockSpec(
             (CH * BAND, TEXEL_TILE // BAND), lambda t, cs, ce: (0, t), memory_space=pltpu.VMEM
         ),
@@ -133,13 +134,21 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
                 #   while N stays TILE//BAND = 256: full utilization,
                 #   identical flops.
                 #
-                # W[r8, n] = 1[k_sub[n]//BAND == r8]; negative or >= TILE
-                # keys match no row (int32 // floors), preserving drop
-                # semantics.
-                r8 = k_sub // BAND
-                jb = k_sub - r8 * BAND  # == k_sub % BAND for in-range keys
-                rows = jax.lax.broadcasted_iota(jnp.int32, (TEXEL_TILE // BAND, SUB), 0)
-                w_t = (jnp.broadcast_to(r8, (TEXEL_TILE // BAND, SUB)) == rows).astype(
+                # Band mapping: key -> (slab j = key // P, column r8 =
+                # key % P) with P = TILE // BAND.  The j-major choice (NOT
+                # key % BAND) is load-bearing: the unblock outside the
+                # kernel then only permutes MAJOR axes (rows move whole
+                # 128-lane tiles), where the key%BAND mapping forced a
+                # minor-dim-8 lane-granular relayout that cost ~12 ms of
+                # the 640x480 grad step (round-3 A/B).
+                # W[r8, n] = 1[k_sub[n] % P == r8]; out-of-range keys get
+                # j outside [0, BAND) so no slab selects them (drop
+                # semantics move from W to the slab select).
+                p_cols = TEXEL_TILE // BAND
+                jb = k_sub // p_cols  # slab index (floor: negatives drop)
+                r8 = k_sub - jb * p_cols  # == k_sub % P, in [0, P)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (p_cols, SUB), 0)
+                w_t = (jnp.broadcast_to(r8, (p_cols, SUB)) == rows).astype(
                     jnp.bfloat16
                 )
                 g_sub = vbuf[:, pl.ds(s * SUB, SUB)]  # [CH, SUB] f32
@@ -184,6 +193,14 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
         out_shape=jax.ShapeDtypeStruct((CH * BAND, tex_pad // BAND), jnp.float32),
         interpret=interpret,
     )(c_start, c_end, keys, vals_t)
-    # unblock the banded layout: row j*CH + ch, col r8 -> dq[ch, r8*BAND + j]
-    out = out.reshape(BAND, CH, tex_pad // BAND).transpose(1, 2, 0).reshape(CH, tex_pad)
-    return out[:n_ch, :n_texels].T
+    # unblock the banded layout: row j*CH + ch, col t*P + r8 holds
+    # dq[t*TILE + j*P + r8, ch].  One transpose whose MINOR axis stays a
+    # full 256-wide P (row-granular tile moves); it also absorbs the final
+    # [CH, tex] -> [tex, CH] flip the unbanded layout needed anyway.
+    p_cols = TEXEL_TILE // BAND
+    out = (
+        out.reshape(BAND, CH, tex_pad // TEXEL_TILE, p_cols)
+        .transpose(2, 0, 3, 1)
+        .reshape(tex_pad, CH)
+    )
+    return out[:n_texels, :n_ch]
