@@ -166,8 +166,15 @@ class SceneStatic:
     # no compaction machinery at all.  With the kernel making the per-ray
     # round cost tiny, "full" wins whenever the combine's per-index gather
     # cost at full width undercuts the compaction fixed cost (measured on
-    # the flagship: demos/compaction_probe.py, demos/forward_probe.py)
+    # the flagship: demos/compaction_probe.py, demos/forward_probe.py);
+    # "block" compacts whole 128-lane blocks (the continuation set is
+    # spatially clustered): the compaction sort shrinks n/128-fold and the
+    # writeback is a handful of unique block-row adds, while the rounds
+    # still run near-compacted width (demos/block_probe.py)
     bounce_mode: str = "compact"
+    # "block" capacity in 128-lane blocks (None = frame_blocks/12, round
+    # 3's flagship headroom x2); overflow lax.cond-falls-back to full width
+    bounce_block_capacity: Optional[int] = None
     # False stops gradients at the bitmap texel atlas: its VJP is a
     # per-ray scatter-add (slow on TPU); disable when texels aren't being
     # optimized

@@ -67,6 +67,11 @@ from .geometry import _oddeven_pairs
 
 TILE = (8, 128)  # native VPU tile; (32, 128) measured marginally slower
 TILE_N = TILE[0] * TILE[1]
+# bounce_mode="block" compaction granularity: small enough to ride the
+# continuation set's screen locality (B=128 covered 91.6k flagship lanes
+# with 126k compacted lanes vs 438k at B=1024 — demos/block_probe.py),
+# and a whole 128-lane vreg row so gathers/scatters move aligned rows
+BOUNCE_BLOCK = 128
 INF = 1e30
 EPS_SHADOW = 1e-3  # f32 self-intersection offset (ops/shade.shadow_eps)
 
@@ -1155,12 +1160,39 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
     # (~10.8 ms/tap at 1080p) exceeds one full-width kernel+combine round
     cap = static.bounce_capacity
     full_bounce = has_refl and static.bounce_mode == "full"
-    use_pallas_bounce = has_refl and cap and cap < n and not full_bounce
+    # BLOCK-granular compaction (round 3): the continuation set is
+    # spatially clustered (reflective objects are compact on screen —
+    # flagship 1080p: 91.6k alive lanes live in 988 of 16200 128-lane
+    # blocks, demos/block_probe.py), so compacting whole blocks keeps the
+    # bookkeeping ~free: the compaction sort runs over n/128 block keys
+    # (not n lanes) and the writeback is cap_blk unique block-row adds
+    # (not a 129k-row lane scatter).  Lane-granular compaction's fixed
+    # cost (~10.8 ms/tap at 1080p) is what made "full" win; block mode
+    # keeps full's cheap bookkeeping AND compact's small combine.
+    block_bounce = (
+        has_refl and static.bounce_mode == "block" and n % BOUNCE_BLOCK == 0
+    )
+    use_pallas_bounce = (
+        has_refl and cap and cap < n and not full_bounce and not block_bounce
+    )
     if use_pallas_bounce:
         cap = -(-cap // TILE_N) * TILE_N
         kern_bounce = build_diff_round0(static, width, height, interpret, n_rays=cap)
     if full_bounce:
         kern_fullw = build_diff_round0(static, width, height, interpret, n_rays=n)
+    if block_bounce:
+        nblk = n // BOUNCE_BLOCK
+        lanes_per_tile = TILE_N // BOUNCE_BLOCK  # cap_blk granularity
+        if static.bounce_block_capacity:
+            cap_blk = static.bounce_block_capacity
+        else:
+            # ~1/12 of the frame's blocks (flagship needs 6.1%); overflow
+            # falls back to full-width rounds, never to wrong pixels
+            cap_blk = -(-nblk // 12)
+        cap_blk = max(lanes_per_tile, -(-cap_blk // lanes_per_tile) * lanes_per_tile)
+        kern_blk = build_diff_round0(
+            static, width, height, interpret, n_rays=cap_blk * BOUNCE_BLOCK
+        )
 
     def combine(packed, o, dirs_or_none):
         return combine_outputs(packed, static, o, dirs_or_none)
@@ -1225,6 +1257,69 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
 
         return jax.lax.cond(count <= cap, compact_path, full_path, color, atten0, alive, orig, dir)
 
+    def block_bounces(packed, color, atten0, alive, orig, dir, n_rounds):
+        """Bounce rounds on a BLOCK-compacted buffer: whole 128-lane blocks
+        with any live lane are gathered into cap_blk block slots, rounds
+        run at cap_blk*128 width through the ray-input kernel, and results
+        scatter back as cap_blk unique block-row adds.  The compaction
+        sort touches n/128 keys instead of n — all three lane-granular
+        fixed costs (2M sort, 129k-row gather, 129k-row scatter-add)
+        collapse to block-count-sized ones.  Every step (cond, row gather,
+        scatter-add) is reverse-differentiable."""
+        B = BOUNCE_BLOCK
+        blk_alive = alive.reshape(nblk, B).any(axis=1)
+        count = blk_alive.sum()
+
+        def full_path(color, atten, alive, orig, dir):
+            return P.continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds)
+
+        def compact_path(color, atten, alive, orig, dir):
+            sel = P.compact_indices(blk_alive, nblk, cap_blk)  # sort over n/B keys
+            blk_live = jnp.arange(cap_blk) < count
+            lane_blk_live = jnp.broadcast_to(blk_live[:, None], (cap_blk, B)).reshape(-1)
+            # Slab gathers on [nblk, B, ...] views: splitting the MAJOR
+            # axis is a free view (physical layout unchanged), so each
+            # gather moves contiguous (1, B, 3) slabs — row-granular.  A
+            # merged [nblk, B*10] wide-row gather measured 22 ms/frame
+            # SLOWER: the [n, 10] -> [nblk, 1280] reshape is a
+            # lane-granular relayout (same pathology as the texel-hist
+            # unblock).  Per-index gather cost at cap_blk indices is noise.
+            selc = jnp.minimum(sel, nblk - 1)  # sentinel clamps; masks kill junk
+
+            def slab(x):
+                return jnp.take(x.reshape((nblk, B) + x.shape[1:]), selc, axis=0)
+
+            at = slab(atten).reshape(cap_blk * B, 3)
+            o3 = slab(orig).reshape(cap_blk * B, 3)
+            d3 = slab(dir).reshape(cap_blk * B, 3)
+            a = slab(alive).reshape(cap_blk * B) & lane_blk_live
+
+            def one_round(carry):
+                sub_color, at, a, o3, d3 = carry
+                o = kern_blk(packed, o3, d3)
+                c, cont, mult, ro, rd = combine(packed, o, d3 if static.has_env else None)
+                sub_color = sub_color + jnp.where(a[..., None], at * c, 0.0)
+                cont = cont & a
+                at = at * jnp.where(cont[..., None], mult, 1.0)
+                o3 = jnp.where(cont[..., None], ro, o3)
+                d3 = jnp.where(cont[..., None], rd, d3)
+                return sub_color, at, cont, o3, d3
+
+            carry = (jnp.zeros((cap_blk * B, 3), dtype=color.dtype), at, a, o3, d3)
+            for _ in range(n_rounds):
+                carry = jax.lax.cond(carry[2].any(), one_round, lambda c: c, carry)
+            # slab scatter-add: cap_blk unique sorted (1, B, 3) updates
+            sub = carry[0].reshape(cap_blk, B, 3)
+            tgt = jnp.where(blk_live, sel, nblk)
+            return (
+                color.reshape(nblk, B, 3)
+                .at[tgt]
+                .add(sub, mode="drop", indices_are_sorted=True, unique_indices=True)
+                .reshape(n, 3)
+            )
+
+        return jax.lax.cond(count <= cap_blk, compact_path, full_path, color, atten0, alive, orig, dir)
+
     def fullwidth_bounces(packed, color, atten, alive, orig, dir, n_rounds):
         """Bounce rounds at full frame width through the ray-input kernel:
         no compaction at all — each live round costs one kernel launch +
@@ -1251,6 +1346,8 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             return color
         if full_bounce:
             return fullwidth_bounces(packed, color, atten, cont, ro, rd, rounds - 1)
+        if block_bounce:
+            return block_bounces(packed, color, atten, cont, ro, rd, rounds - 1)
         if use_pallas_bounce:
             return pallas_bounces(packed, color, atten, cont, ro, rd, rounds - 1)
         return P.continue_bounces(packed, static, color, atten, cont, ro, rd, rounds - 1)

@@ -1,0 +1,62 @@
+"""Measure the bounce continuation set's SPATIAL LOCALITY on the flagship.
+
+bounce_mode="full" pays a full-width combine (incl. the ~8 ms 2M-lane
+texel gather) for round 1 even though only ~4% of lanes continue;
+lane-granular compaction pays a 2M lax.sort + a 129k-row scatter-add
+(~10.8 ms/tap fixed).  If the continuing rays are spatially clustered
+(they are — one mirror sphere), compacting at BLOCK granularity makes the
+compaction bookkeeping ~free: the sort runs over n/B block keys and the
+writeback is cap_blk unique block-row adds.
+
+This probe reports, for the 1080p flagship round-0 continuation mask:
+alive lanes, and alive blocks (plus implied compacted width) for block
+sizes 128..2048.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from bench import build
+from chess2rt_tpu.ops import pallas_trace as PT
+from chess2rt_tpu.ops.pallas_trace import combine_outputs
+from chess2rt_tpu.ops.pallas_grad import build_diff_round0
+
+W, H = 1920, 1080
+
+
+def main():
+    packed, static = build(W, H)
+    static = dataclasses.replace(static, use_pallas=True, fast_forward=True)
+    print(f"# devices: {jax.devices()}", flush=True)
+    n = W * H
+    kern = build_diff_round0(static, W, H, False)
+    sizes = [128, 256, 512, 1024]  # 2048 doesn't divide 1080p's 2073600
+
+    @jax.jit
+    def stats(packed):
+        o = kern(packed, (0.2, 0.3))
+        _, cont, _, _, _ = combine_outputs(packed, static, o, None)
+        out = [cont.sum()]
+        for b in sizes:
+            out.append(cont.reshape(n // b, b).any(axis=1).sum())
+        return jnp.stack([x.astype(jnp.int32) for x in out])
+
+    s = np.asarray(stats(packed))
+    print(f"alive lanes: {s[0]} / {n}  ({100.0 * s[0] / n:.2f}%)")
+    for b, nb in zip(sizes, s[1:]):
+        print(
+            f"B={b:5d}: alive blocks {nb:6d} / {n // b:6d}"
+            f"  -> compacted width {nb * b:8d} lanes ({100.0 * nb * b / n:.2f}%)"
+        )
+
+
+if __name__ == "__main__":
+    main()

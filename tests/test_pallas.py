@@ -135,6 +135,38 @@ class TestKernelParity:
         out_f = np.asarray(build_flagship_renderer(st_f, 64, 48, interpret=True)(packed))
         np.testing.assert_array_equal(out_c, out_f)
 
+    def test_block_bounce_mode_bitexact(self, data_dir):
+        """bounce_mode="block" (128-lane-block-granular compaction) must be
+        bit-identical to the full-width mode — same kernel, same combine,
+        only which lanes sit in which buffer slots differs.  Covers both
+        the compacted path and the capacity-overflow lax.cond fallback."""
+        import dataclasses
+
+        sc = _scene(data_dir, w=64, h=48)
+        m = T.Reflection(name="m", color=(0.9, 0.9, 0.9))
+        sc.shaders.append(m)
+        sc.nodes.append(
+            T.Node(name="ball", geometry=T.Sphere(name="b", center=(0, 60, 120), R=40.0), shader=m)
+        )
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer
+
+        st_f = dataclasses.replace(
+            static, aa_enabled=False, bounce_capacity=1024, bounce_mode="full"
+        )
+        st_b = dataclasses.replace(st_f, bounce_mode="block", bounce_block_capacity=16)
+        # capacity 1 block (rounded up to one kernel tile = 8) overflows ->
+        # the lax.cond full-width fallback must carry the frame
+        st_o = dataclasses.replace(st_f, bounce_mode="block", bounce_block_capacity=1)
+        out_f = np.asarray(build_flagship_renderer(st_f, 64, 48, interpret=True)(packed))
+        out_b = np.asarray(build_flagship_renderer(st_b, 64, 48, interpret=True)(packed))
+        np.testing.assert_array_equal(out_f, out_b)
+        out_o = np.asarray(build_flagship_renderer(st_o, 64, 48, interpret=True)(packed))
+        # the fallback runs XLA wavefront rounds (not the kernel): same
+        # math, different op ordering -> the usual kernel/XLA f32 tolerance
+        d = np.abs(out_o - out_f).max(-1)
+        assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
+
     def test_aa_taps_match_xla(self, data_dir):
         """5-tap AA through the flagship renderer == the XLA AA pipeline."""
         sc = _scene(data_dir, w=32, h=24)
