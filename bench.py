@@ -73,7 +73,11 @@ def main_grad():
     # the pinned-discrete XLA re-shade (ops/pallas_grad.py custom VJP) —
     # no shadow scans anywhere in the grad step.
     static = dataclasses.replace(
-        static, aa_enabled=False, bounce_capacity=w * h // 16, use_pallas=True
+        static,
+        aa_enabled=False,
+        bounce_capacity=w * h // 16,
+        use_pallas=True,
+        bounce_mode="block",  # block-granular compaction (15.7 vs 18.7 ms lane-compact)
     )
     key = jax.random.PRNGKey(0)
     target = jnp.zeros((h, w, 3), dtype=jnp.float32)
@@ -156,7 +160,7 @@ def main_check():
         use_pallas=True,
         aa_enabled=False,
         bounce_capacity=w * h // 16,
-        bounce_mode="full",  # match the headline bench's flagship config
+        bounce_mode="block",  # match the headline bench's flagship config
     )
     static_x = dataclasses.replace(static, use_pallas=False, aa_enabled=False)
     key = jax.random.PRNGKey(0)
@@ -230,18 +234,20 @@ def main():
     packed, static = build()
     # round-3 config: the fused Pallas primary kernel covers the full
     # flagship scene (CSG + bitmaps + transforms + mirror); bounce rounds
-    # re-enter the ray-input kernel at FULL frame width with an all-dead
-    # cond-skip (bounce_mode="full") — the compaction machinery's fixed
-    # cost (2M sort + row gather + scatter-back, ~10.8 ms/tap) exceeds a
-    # whole full-width kernel+combine round now that the kernel made the
-    # per-ray round cost tiny (demos/compaction_probe.py).  Measured round
-    # 3 (honest, key-jittered): 107 ms/frame vs ~500 ms-class pure XLA.
+    # re-enter the ray-input kernel on a BLOCK-compacted buffer
+    # (bounce_mode="block"): whole 128-lane blocks with any live lane are
+    # gathered into ~n/12 block slots, so the round-1 combine (texel
+    # gather dominates) runs at ~8% width while the compaction
+    # bookkeeping stays ~free (sort over n/128 block keys, slab
+    # gathers/adds).  Measured round 3 (honest, key-jittered):
+    # 59 ms/frame vs 117 ms full-width rounds vs ~500 ms-class pure XLA
+    # (demos/bounce_mode_probe.py, demos/block_probe.py).
     static = dataclasses.replace(
         static,
         use_pallas=True,
         fast_forward=True,
         bounce_capacity=2073600 // 16,
-        bounce_mode="full",
+        bounce_mode="block",
     )
     from chess2rt_tpu.render.pipeline import AA_KERNEL, begin_frame, render_frame, render_samples
 

@@ -167,11 +167,14 @@ class SceneStatic:
     # round cost tiny, "full" wins whenever the combine's per-index gather
     # cost at full width undercuts the compaction fixed cost (measured on
     # the flagship: demos/compaction_probe.py, demos/forward_probe.py);
-    # "block" compacts whole 128-lane blocks (the continuation set is
-    # spatially clustered): the compaction sort shrinks n/128-fold and the
-    # writeback is a handful of unique block-row adds, while the rounds
-    # still run near-compacted width (demos/block_probe.py)
-    bounce_mode: str = "compact"
+    # "block" (default) compacts whole 128-lane blocks (the continuation
+    # set is spatially clustered): the compaction sort shrinks n/128-fold
+    # and the writeback is a handful of unique block-row adds, while the
+    # rounds still run near-compacted width — measured 1.9x the flagship
+    # frame vs "full" and 1.2x the grad step vs lane-"compact"
+    # (demos/block_probe.py, demos/bounce_mode_probe.py); needs no
+    # bounce_capacity and falls back when n % 128 != 0
+    bounce_mode: str = "block"
     # "block" capacity in 128-lane blocks (None = frame_blocks/12, round
     # 3's flagship headroom x2); overflow lax.cond-falls-back to full width
     bounce_block_capacity: Optional[int] = None

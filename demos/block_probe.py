@@ -42,19 +42,34 @@ def main():
 
     @jax.jit
     def stats(packed):
+        from chess2rt_tpu.models.packed import TEX_BITMAP
+        from chess2rt_tpu.ops import shade as S
+
         o = kern(packed, (0.2, 0.3))
         _, cont, _, _, _ = combine_outputs(packed, static, o, None)
-        out = [cont.sum()]
+        win = o["win"]
+        is_bmp = (S.tex_kind_of(static, jnp.maximum(win, 0)) == TEX_BITMAP) & (win >= 0)
+        out = [cont.sum(), is_bmp.sum()]
         for b in sizes:
             out.append(cont.reshape(n // b, b).any(axis=1).sum())
+        for b in sizes:
+            out.append(is_bmp.reshape(n // b, b).any(axis=1).sum())
         return jnp.stack([x.astype(jnp.int32) for x in out])
 
     s = np.asarray(stats(packed))
-    print(f"alive lanes: {s[0]} / {n}  ({100.0 * s[0] / n:.2f}%)")
-    for b, nb in zip(sizes, s[1:]):
+    print(f"alive lanes:  {s[0]} / {n}  ({100.0 * s[0] / n:.2f}%)")
+    print(f"is_bmp lanes: {s[1]} / {n}  ({100.0 * s[1] / n:.2f}%)")
+    k = 2
+    for b, nb in zip(sizes, s[k : k + len(sizes)]):
         print(
-            f"B={b:5d}: alive blocks {nb:6d} / {n // b:6d}"
-            f"  -> compacted width {nb * b:8d} lanes ({100.0 * nb * b / n:.2f}%)"
+            f"cont   B={b:5d}: blocks {nb:6d} / {n // b:6d}"
+            f"  -> width {nb * b:8d} lanes ({100.0 * nb * b / n:.2f}%)"
+        )
+    k += len(sizes)
+    for b, nb in zip(sizes, s[k : k + len(sizes)]):
+        print(
+            f"is_bmp B={b:5d}: blocks {nb:6d} / {n // b:6d}"
+            f"  -> width {nb * b:8d} lanes ({100.0 * nb * b / n:.2f}%)"
         )
 
 

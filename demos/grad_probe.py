@@ -103,6 +103,14 @@ def main():
                 l, g = jax.value_and_grad(l2)(jitter(p, k))
                 return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
             timeit(name, scanit(vgx), packed)
+        elif name == "vg_block":
+            # block-granular bounce compaction (bounce_mode="block")
+            st = dataclasses.replace(static, bounce_mode="block")
+            l2 = loss_for(st)
+            def vgb(k, p, l2=l2):
+                l, g = jax.value_and_grad(l2)(jitter(p, k))
+                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            timeit(name, scanit(vgb), packed)
         elif name == "vg_d0":
             # no bounce rounds: isolates the bounce-machinery share of bwd
             st0 = dataclasses.replace(static, max_trace_depth=0)

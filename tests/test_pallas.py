@@ -129,7 +129,9 @@ class TestKernelParity:
         packed, static = pack_scene(sc, dtype=jnp.float32)
         from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer
 
-        st_c = dataclasses.replace(static, aa_enabled=False, bounce_capacity=1024)
+        st_c = dataclasses.replace(
+            static, aa_enabled=False, bounce_capacity=1024, bounce_mode="compact"
+        )
         st_f = dataclasses.replace(st_c, bounce_mode="full")
         out_c = np.asarray(build_flagship_renderer(st_c, 64, 48, interpret=True)(packed))
         out_f = np.asarray(build_flagship_renderer(st_f, 64, 48, interpret=True)(packed))
