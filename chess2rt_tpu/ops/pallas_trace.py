@@ -1311,10 +1311,13 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             # slab scatter-add: cap_blk unique sorted (1, B, 3) updates
             sub = carry[0].reshape(cap_blk, B, 3)
             tgt = jnp.where(blk_live, sel, nblk)
+            # NB: no unique_indices promise — junk slots all hold the same
+            # out-of-range sentinel, and XLA only documents drop-before-
+            # write as an implementation detail (see continue_bounces)
             return (
                 color.reshape(nblk, B, 3)
                 .at[tgt]
-                .add(sub, mode="drop", indices_are_sorted=True, unique_indices=True)
+                .add(sub, mode="drop", indices_are_sorted=True)
                 .reshape(n, 3)
             )
 

@@ -128,11 +128,11 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
                 #   ~2^-17 — inside the 2e-5 grad parity bound) at TWO
                 #   passes, accumulated in f32.
                 # * BAND packing: a plain [CH=16, SUB] x [SUB, TILE] uses
-                #   16/128 of the MXU's M dim.  Mapping key -> (row
-                #   key//BAND, band key%BAND), with each band owning its
-                #   own CH-row slab of the lhs, fills M to CH*BAND = 128
-                #   while N stays TILE//BAND = 256: full utilization,
-                #   identical flops.
+                #   16/128 of the MXU's M dim.  Mapping key -> (slab
+                #   j = key//P, column r8 = key%P), with each slab owning
+                #   its own CH-row block of the lhs, fills M to
+                #   CH*BAND = 128 while N stays P = TILE//BAND = 256: full
+                #   utilization, identical flops.
                 #
                 # Band mapping: key -> (slab j = key // P, column r8 =
                 # key % P) with P = TILE // BAND.  The j-major choice (NOT
@@ -154,7 +154,7 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
                 g_sub = vbuf[:, pl.ds(s * SUB, SUB)]  # [CH, SUB] f32
                 g_hi = g_sub.astype(jnp.bfloat16)
                 g_lo = (g_sub - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                # lhs [CH*BAND, SUB]: band j's slab holds g where key%BAND==j
+                # lhs [CH*BAND, SUB]: slab j holds g where key//P == j
                 # (selects are exact, so banding commutes with the hi/lo split)
                 jbb = jnp.broadcast_to(jb, (CH, SUB))
                 zero_hi = jnp.zeros((CH, SUB), jnp.bfloat16)

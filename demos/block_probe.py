@@ -25,7 +25,6 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 from bench import build
-from chess2rt_tpu.ops import pallas_trace as PT
 from chess2rt_tpu.ops.pallas_trace import combine_outputs
 from chess2rt_tpu.ops.pallas_grad import build_diff_round0
 

@@ -64,8 +64,14 @@ def main():
 
     stages = sys.argv[1:] or ["fwd", "vg", "vg_scatter", "vg_notex", "vg_xla", "vg_d0"]
     packed, static0 = build(W, H)
+    # pin the bench config explicitly (bounce_mode="block" is also the
+    # package default; pinning keeps the probe meaningful if it changes)
     static = dataclasses.replace(
-        static0, aa_enabled=False, bounce_capacity=W * H // 16, use_pallas=True
+        static0,
+        aa_enabled=False,
+        bounce_capacity=W * H // 16,
+        use_pallas=True,
+        bounce_mode="block",
     )
     key = jax.random.PRNGKey(0)
     print(f"# devices: {jax.devices()}", flush=True)
@@ -103,9 +109,10 @@ def main():
                 l, g = jax.value_and_grad(l2)(jitter(p, k))
                 return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
             timeit(name, scanit(vgx), packed)
-        elif name == "vg_block":
-            # block-granular bounce compaction (bounce_mode="block")
-            st = dataclasses.replace(static, bounce_mode="block")
+        elif name == "vg_lane":
+            # lane-granular compaction A/B partner (vg runs block mode;
+            # measured 18.7 ms lane vs 15.7 ms block, round 3)
+            st = dataclasses.replace(static, bounce_mode="compact")
             l2 = loss_for(st)
             def vgb(k, p, l2=l2):
                 l, g = jax.value_and_grad(l2)(jitter(p, k))
