@@ -4,7 +4,7 @@ Times the full 5-tap AA frame (key-jittered per iteration, LICM-proof)
 for bounce_mode in {full, block} — lane-granular "compact" already
 measured slower than "full" (demos/compaction_probe.py).
 
-Usage: python demos/bounce_mode_probe.py [full block ...]
+Usage: python demos/bounce_mode_probe.py [--size WxH] [full block ...]
 """
 
 from __future__ import annotations
@@ -59,18 +59,24 @@ def timeit(name, renderer, packed):
 
 
 def main():
-    modes = sys.argv[1:] or ["full", "block"]
-    packed, static = build(W, H)
-    print(f"# devices: {jax.devices()}", flush=True)
+    args = sys.argv[1:]
+    w, h = W, H
+    if "--size" in args:
+        i = args.index("--size")
+        w, h = (int(v) for v in args[i + 1].split("x"))
+        del args[i : i + 2]
+    modes = args or ["full", "block"]
+    packed, static = build(w, h)
+    print(f"# devices: {jax.devices()}  {w}x{h}", flush=True)
     for mode in modes:
         st = dataclasses.replace(
             static,
             use_pallas=True,
             fast_forward=True,
-            bounce_capacity=2073600 // 16,
+            bounce_capacity=w * h // 16,
             bounce_mode=mode,
         )
-        renderer = PT.build_flagship_renderer(st, W, H)
+        renderer = PT.build_flagship_renderer(st, w, h)
         timeit(mode, renderer, packed)
 
 
