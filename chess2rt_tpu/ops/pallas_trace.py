@@ -332,8 +332,10 @@ def _geom_builders(p):
         z = zeros_like(t)
         # slim record: no position fields (p = o + d*t is recomputed where
         # needed) and UVs only for textured nodes — fewer live tiles means
-        # fewer Mosaic register spills (the kernel is spill-bound, not
-        # flop-bound: its runtime was insensitive to scene content)
+        # fewer Mosaic register spills.  (Round-2's "the kernel is
+        # spill-bound, ~31 ms/tap" self-diagnosis was WRONG: that timing
+        # was tunnel-roundtrip-dominated; the amortized round-0 tap is
+        # ~1.3 ms at 1080p — demos/kernel_probe.py, CLAUDE.md rule 0.)
         rec = dict(t=jnp.where(ok, t, INF), nx=z, ny=z + 1.0, nz=z)
         if needs_uv:
             rec["u"], rec["v"] = px, pz
@@ -1305,6 +1307,15 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
                 d3 = jnp.where(cont[..., None], rd, d3)
                 return sub_color, at, cont, o3, d3
 
+            # Grad-step cost note (round-3 vg_d0/d1/d2/d5 ladder): each
+            # COMPILED round adds ~0.4-2 ms to the fwd+bwd step even when
+            # its cond skips at runtime.  Two fixes measured and rejected:
+            # an outer all-dead cond around rounds 2+ (15.9 vs 15.7 ms —
+            # no change) and jax.checkpoint(one_round) to shed the cond's
+            # residual-union materialization (16.3 ms — slightly worse).
+            # The cost appears to be program-level (scheduling/allocation
+            # scaling with HLO size), not skippable work — keep the simple
+            # unrolled form.
             carry = (jnp.zeros((cap_blk * B, 3), dtype=color.dtype), at, a, o3, d3)
             for _ in range(n_rounds):
                 carry = jax.lax.cond(carry[2].any(), one_round, lambda c: c, carry)

@@ -118,6 +118,24 @@ def main():
                 l, g = jax.value_and_grad(l2)(jitter(p, k))
                 return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
             timeit(name, scanit(vgb), packed)
+        elif name == "vg_d1":
+            # exactly one bounce round: vg - vg_d1 = dead-round overhead,
+            # vg_d1 - vg_d0 = one live block-compacted round fwd+bwd
+            st1 = dataclasses.replace(static, max_trace_depth=1)
+            l2 = loss_for(st1)
+            def vg5(k, p, l2=l2):
+                l, g = jax.value_and_grad(l2)(jitter(p, k))
+                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            timeit(name, scanit(vg5), packed)
+        elif name == "vg_d2":
+            # two compiled bounce rounds, second dead at runtime: tests
+            # whether cond-skipped rounds really cost ~0 (vg_d2 - vg_d1)
+            st2 = dataclasses.replace(static, max_trace_depth=2)
+            l2 = loss_for(st2)
+            def vg7(k, p, l2=l2):
+                l, g = jax.value_and_grad(l2)(jitter(p, k))
+                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            timeit(name, scanit(vg7), packed)
         elif name == "vg_d0":
             # no bounce rounds: isolates the bounce-machinery share of bwd
             st0 = dataclasses.replace(static, max_trace_depth=0)
