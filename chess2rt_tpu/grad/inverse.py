@@ -41,6 +41,10 @@ class InverseProblem:
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 50
     mesh: object = None  # jax.sharding.Mesh for distributed fitting
+    # fit() flips use_pallas on for TPU by default (the fused custom-VJP
+    # forward); False keeps static.use_pallas as passed — e.g. to A/B the
+    # pinned-discrete gradients against the exact XLA VJP
+    auto_pallas: bool = True
 
 
 def _mask_grads(grads: ScenePacked, train_fields) -> ScenePacked:
@@ -76,7 +80,7 @@ def fit(
         # grads would be masked to zero anyway — stop them at the source
         static = dataclasses.replace(static, train_textures=False)
 
-    if not static.use_pallas and jax.default_backend() == "tpu":
+    if problem.auto_pallas and not static.use_pallas and jax.default_backend() == "tpu":
         # the fused kernel is differentiable (ops/pallas_grad.py custom
         # VJP), so inverse rendering defaults to it on TPU; render_frame
         # still falls back to pure XLA for unsupported scene structures

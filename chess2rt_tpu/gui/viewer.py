@@ -177,11 +177,12 @@ class SDL2Viewer:
         self.window.close()
 
 
-def make_viewer(width: int, height: int, prefer_sdl: bool = True):
-    """SDL2 window when available, ANSI terminal otherwise."""
+def make_viewer(width: int, height: int, prefer_sdl: bool = True, resizable: bool = True):
+    """SDL2 window when available, ANSI terminal otherwise.  ``resizable``
+    should follow GlobalSettings.allowResize (raytracer_demo.d:126-143)."""
     if prefer_sdl:
         try:
-            return SDL2Viewer(width, height)
+            return SDL2Viewer(width, height, resizable=resizable)
         except Exception:
             pass
     return TerminalViewer()
@@ -270,9 +271,11 @@ def sdl_interactive_main(session, viewer, bucket_size: int = 48) -> int:
                 print(session.handle_click(ev[1], ev[2]), flush=True)
                 continue
             elif ev[0] == "resize":
+                # ALWAYS re-fetch the surface: SDL reallocated it whether or
+                # not the session accepts the new size (allowResize off) —
+                # blitting through the stale surface is a use-after-free
+                viewer.on_resized()
                 frame = session.handle_resize(ev[1], ev[2], preview=True)
-                if frame is not None:
-                    viewer.on_resized()
             else:
                 frame = None
             if frame is not None:
@@ -291,7 +294,10 @@ def interactive_main(scene_path: str, dtype=None, prefer_sdl: bool = True, bucke
     from .session import InteractiveSession
 
     session = InteractiveSession(scene_path, dtype=dtype)
-    viewer = make_viewer(session.scene.settings.frameWidth, session.scene.settings.frameHeight, prefer_sdl)
+    s = session.scene.settings
+    viewer = make_viewer(
+        s.frameWidth, s.frameHeight, prefer_sdl, resizable=s.allowResize and not s.fullscreen
+    )
     progressive_render(session, viewer, bucket_size)
 
     if isinstance(viewer, SDL2Viewer):

@@ -30,8 +30,11 @@ class Buffer:
 
     def __init__(self, initial_capacity: int = 0, wrap: bytes | bytearray | None = None):
         if wrap is not None:
-            # this(T[] data_to_wrap) — buffer.d:100-105
-            self.data = bytearray(wrap)
+            # this(T[] data_to_wrap) — buffer.d:100-105.  Copy-on-write:
+            # immutable bytes are kept as-is (the BMP decoder wraps whole
+            # multi-MB files just to stream a ~70-byte header + palette);
+            # write() converts to a bytearray on first mutation.
+            self.data = wrap
             self.start = 0
             self.count = len(self.data)
         else:
@@ -94,6 +97,8 @@ class Buffer:
 
     def write(self, to_write: bytes | bytearray) -> None:
         """Append at the window end with doubling growth (buffer.d:170-186)."""
+        if not isinstance(self.data, bytearray):  # copy-on-write (see __init__)
+            self.data = bytearray(self.data)
         end = self.start + self.count
         n = len(to_write)
         while self.capacity < n:

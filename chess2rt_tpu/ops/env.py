@@ -76,5 +76,8 @@ def sample_cubemap(cubemap, dir):
     from .shade import bilerp_quad
 
     key, p, q = cubemap_plan(cubemap, dir)
-    g = row_gather(cubemap_quads(cubemap), key)
+    # fold=True: a 512-face cubemap's quad table (6*512*512 rows) is past
+    # the u16 fast-gather row cliff; K-row folding keeps the per-miss-ray
+    # gather in the fast zone, matching the merged bitmap+env path
+    g = row_gather(cubemap_quads(cubemap), key, fold=True)
     return bilerp_quad(g, p, q)

@@ -63,12 +63,10 @@ from .camera import begin_frame, screen_rays
 from .pallas_trace import EPS_SHADOW, INF, build_round0_kernel
 
 
-def _norm(v):
-    return v / jnp.sqrt(jnp.maximum((v * v).sum(-1, keepdims=True), 1e-30))
-
-
-def dot(a, b):
-    return (a * b).sum(-1)
+# shared guarded helpers (the 1e-30 floor is the NaN-free-dead-lane
+# invariant — one definition, ops/geometry.py)
+_norm = G._norm
+dot = G.dot
 
 
 # --------------------------------------------------------------------------

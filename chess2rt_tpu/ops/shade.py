@@ -269,7 +269,10 @@ def _qgf_bwd(mode, res, g):
     flat_n = key.reshape(-1).shape[0]
     kf = key.reshape(flat_n)
     gf = g.reshape(flat_n, C)
-    if mode == "histogram" and flat_n > 1:
+    # the MXU histogram kernel is f32-only (bf16 hi/lo split of f32
+    # cotangents); f64 (jax_enable_x64 oracle-parity runs) falls through
+    # to the sorted monotone scatter, which is dtype-generic
+    if mode == "histogram" and flat_n > 1 and gf.dtype == jnp.float32:
         # sort, then accumulate on the MXU (ops/texel_hist.py) instead of
         # the monotone scatter-add.  Only (key, lane-id) go through the
         # bitonic sort — a 13-operand payload sort costs ~operand-count
@@ -289,7 +292,7 @@ def _qgf_bwd(mode, res, g):
             interpret=jax.default_backend() != "tpu",
         )
         return dq, _f0(key)
-    if mode == "sorted" and flat_n > 1:
+    if mode in ("sorted", "histogram") and flat_n > 1:  # histogram: f64 fallthrough
         # sort the payload columns along with the key: a (key, perm)
         # 2-operand sort followed by a [N, 12] permutation gather measured
         # SLOWER in the full grad step (the permutation gather is the

@@ -95,9 +95,14 @@ def worker_main(argv=None) -> None:
             n_leaves=len(leaves),
             **{f"g{i}": np.asarray(l) for i, l in enumerate(leaves)},
         )
-    # all ranks block until rank 0 has written (coordinator shutdown is
-    # collective; exiting early can abort the save on slow filesystems)
-    jax.effects_barrier()
+    # all ranks block until rank 0 has written: sync_global_devices is a
+    # REAL cross-process barrier (an all-reduce over every process's
+    # devices) — jax.effects_barrier() is process-local and would let
+    # other ranks exit (and collectively tear down the coordinator) while
+    # rank 0 is mid-save on a slow filesystem
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("mp_dryrun_save_done")
 
 
 def run_multiprocess_dryrun(num_processes: int = 2, width: int = 17, height: int = 3, timeout: int = 600):

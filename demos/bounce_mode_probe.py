@@ -65,9 +65,12 @@ def main():
         i = args.index("--size")
         w, h = (int(v) for v in args[i + 1].split("x"))
         del args[i : i + 2]
+    no_aa = "--no-aa" in args
+    if no_aa:
+        args.remove("--no-aa")
     modes = args or ["full", "block"]
     packed, static = build(w, h)
-    print(f"# devices: {jax.devices()}  {w}x{h}", flush=True)
+    print(f"# devices: {jax.devices()}  {w}x{h}  aa={not no_aa}", flush=True)
     for mode in modes:
         st = dataclasses.replace(
             static,
@@ -75,6 +78,7 @@ def main():
             fast_forward=True,
             bounce_capacity=w * h // 16,
             bounce_mode=mode,
+            aa_enabled=not no_aa,
         )
         renderer = PT.build_flagship_renderer(st, w, h)
         timeit(mode, renderer, packed)

@@ -86,96 +86,41 @@ def main():
     def fwd(k, p):
         return loss(jitter(p, k))
 
-    def vg(k, p):
-        l, g = jax.value_and_grad(loss)(jitter(p, k))
-        return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
+    def make_vg(st):
+        """ONE value_and_grad body shared by every stage: the jitter +
+        checksum weighting are the LICM guards this probe exists for —
+        a per-stage copy that misses one silently reports inflated
+        timings (CLAUDE.md)."""
+        l2 = loss_for(st)
 
-    fns = {
-        "fwd": (fwd, packed),
-        "vg": (vg, packed),
+        def body(k, p):
+            l, g = jax.value_and_grad(l2)(jitter(p, k))
+            return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
+
+        return body
+
+    # stage -> SceneStatic overrides on top of the pinned bench config
+    VARIANTS = {
+        "vg_scatter": dict(texel_grad_mode="scatter"),  # naive duplicate scatter
+        "vg_sorted": dict(texel_grad_mode="sorted"),  # monotone scatter VJP
+        "vg_xla": dict(use_pallas=False),  # pure-XLA fwd+bwd
+        # lane-granular compaction A/B partner (vg runs block mode;
+        # measured 18.7 ms lane vs 15.7 ms block, round 3)
+        "vg_lane": dict(bounce_mode="compact"),
+        "vg_full": dict(bounce_mode="full"),  # full-width bounce rounds
+        # depth ladder: vg - vg_d1 = dead-round overhead, vg_d1 - vg_d0 =
+        # one live block-compacted round fwd+bwd
+        "vg_d0": dict(max_trace_depth=0),
+        "vg_d1": dict(max_trace_depth=1),
+        "vg_d2": dict(max_trace_depth=2),
+        "vg_d0_notex": dict(max_trace_depth=0, train_textures=False),
+        "vg_notex": dict(train_textures=False),  # texel grads stopped
     }
+
+    fns = {"fwd": fwd, "vg": make_vg(static)}
     for name in stages:
-        if name == "vg_scatter":
-            st = dataclasses.replace(static, texel_grad_mode="scatter")
-            l2 = loss_for(st)
-            def vg2(k, p, l2=l2):
-                l, g = jax.value_and_grad(l2)(jitter(p, k))
-                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
-            timeit(name, scanit(vg2), packed)
-        elif name == "vg_xla":
-            st = dataclasses.replace(static, use_pallas=False)
-            l2 = loss_for(st)
-            def vgx(k, p, l2=l2):
-                l, g = jax.value_and_grad(l2)(jitter(p, k))
-                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
-            timeit(name, scanit(vgx), packed)
-        elif name == "vg_lane":
-            # lane-granular compaction A/B partner (vg runs block mode;
-            # measured 18.7 ms lane vs 15.7 ms block, round 3)
-            st = dataclasses.replace(static, bounce_mode="compact")
-            l2 = loss_for(st)
-            def vgb(k, p, l2=l2):
-                l, g = jax.value_and_grad(l2)(jitter(p, k))
-                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
-            timeit(name, scanit(vgb), packed)
-        elif name == "vg_d1":
-            # exactly one bounce round: vg - vg_d1 = dead-round overhead,
-            # vg_d1 - vg_d0 = one live block-compacted round fwd+bwd
-            st1 = dataclasses.replace(static, max_trace_depth=1)
-            l2 = loss_for(st1)
-            def vg5(k, p, l2=l2):
-                l, g = jax.value_and_grad(l2)(jitter(p, k))
-                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
-            timeit(name, scanit(vg5), packed)
-        elif name == "vg_d2":
-            # two compiled bounce rounds, second dead at runtime: tests
-            # whether cond-skipped rounds really cost ~0 (vg_d2 - vg_d1)
-            st2 = dataclasses.replace(static, max_trace_depth=2)
-            l2 = loss_for(st2)
-            def vg7(k, p, l2=l2):
-                l, g = jax.value_and_grad(l2)(jitter(p, k))
-                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
-            timeit(name, scanit(vg7), packed)
-        elif name == "vg_d0":
-            # no bounce rounds: isolates the bounce-machinery share of bwd
-            st0 = dataclasses.replace(static, max_trace_depth=0)
-            l2 = loss_for(st0)
-            def vg4(k, p, l2=l2):
-                l, g = jax.value_and_grad(l2)(jitter(p, k))
-                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
-            timeit(name, scanit(vg4), packed)
-        elif name == "vg_d0_notex":
-            st = dataclasses.replace(static, max_trace_depth=0, train_textures=False)
-            l2 = loss_for(st)
-            def vg6(k, p, l2=l2):
-                l, g = jax.value_and_grad(l2)(jitter(p, k))
-                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
-            timeit(name, scanit(vg6), packed)
-        elif name == "vg_sorted":
-            st = dataclasses.replace(static, texel_grad_mode="sorted")
-            l2 = loss_for(st)
-            def vg7(k, p, l2=l2):
-                l, g = jax.value_and_grad(l2)(jitter(p, k))
-                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
-            timeit(name, scanit(vg7), packed)
-        elif name == "vg_full":
-            # bounce rounds at full width (no compaction machinery)
-            st = dataclasses.replace(static, bounce_mode="full")
-            l2 = loss_for(st)
-            def vg5(k, p, l2=l2):
-                l, g = jax.value_and_grad(l2)(jitter(p, k))
-                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
-            timeit(name, scanit(vg5), packed)
-        elif name == "vg_notex":
-            st = dataclasses.replace(static, train_textures=False)
-            l2 = loss_for(st)
-            def vg3(k, p, l2=l2):
-                l, g = jax.value_and_grad(l2)(jitter(p, k))
-                return l + 1e-30 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
-            timeit(name, scanit(vg3), packed)
-        else:
-            f, a = fns[name]
-            timeit(name, scanit(f), a)
+        f = fns.get(name) or make_vg(dataclasses.replace(static, **VARIANTS[name]))
+        timeit(name, scanit(f), packed)
 
 
 if __name__ == "__main__":
