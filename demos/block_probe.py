@@ -32,11 +32,14 @@ W, H = 1920, 1080
 
 
 def main():
-    packed, static = build(W, H)
+    w, h = W, H
+    if "--size" in sys.argv:
+        w, h = (int(v) for v in sys.argv[sys.argv.index("--size") + 1].split("x"))
+    packed, static = build(w, h)
     static = dataclasses.replace(static, use_pallas=True, fast_forward=True)
-    print(f"# devices: {jax.devices()}", flush=True)
-    n = W * H
-    kern = build_diff_round0(static, W, H, False)
+    print(f"# devices: {jax.devices()}  {w}x{h}", flush=True)
+    n = w * h
+    kern = build_diff_round0(static, w, h, False)
     sizes = [128, 256, 512, 1024]  # 2048 doesn't divide 1080p's 2073600
 
     @jax.jit

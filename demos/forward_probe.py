@@ -1,9 +1,11 @@
 """Flagship forward cost attribution (round 3).
 
 demos/kernel_probe.py showed the fused round-0 kernel itself costs ~1 ms
-per 1080p tap once the ~30 ms tunnel roundtrip is amortized out — so the
-~57 ms flagship frame is dominated by the XLA glue around it.  This probe
-times staged slices of one tap on the real TPU:
+per 1080p tap once the ~30 ms tunnel roundtrip is amortized out — the
+flagship frame is dominated by the XLA glue around it (round-3 final:
+tap ≈ kern 0.3-1.3 + combine 9.4 [texel gather ~8, the per-index floor]
++ block bounce ~1.2 ms; frame 65.5 ms raw).  This probe times staged
+slices of one tap on the real TPU:
 
     kern      — the round-0 pallas_call alone (sum of raw outputs)
     combine   — kern + combine_outputs (deferred bitmap texel gather, env)
