@@ -178,6 +178,14 @@ class SceneStatic:
     # "block" capacity in 128-lane blocks (None = frame_blocks/12, round
     # 3's flagship headroom x2); overflow lax.cond-falls-back to full width
     bounce_block_capacity: Optional[int] = None
+    # GI path tracing: evaluate this many MC paths per kernel launch
+    # (lanes = batch x pixels).  The RNG key chains are unrolled exactly
+    # (every lane draws the same uniforms as the sequential scan; only
+    # the f32 accumulation order changes).  Measured on v5e round 3:
+    # batching LOSES — K=8 ran 77.4 vs 57.7 ms sequential at 640x480
+    # 40pp; per-path dead-round cond-skips beat the launch amortization
+    # (a batch runs round r if ANY of its K paths is alive).  Default 1.
+    gi_path_batch: Optional[int] = None
     # False stops gradients at the bitmap texel atlas: its VJP is a
     # per-ray scatter-add (slow on TPU); disable when texels aren't being
     # optimized

@@ -1482,12 +1482,24 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
     from . import shade as S
 
     n = width * height
+    # PATH BATCHING (round 3, measured a LOSS — default K=1): evaluating
+    # K paths per launch (lanes = K*n) with exactly-unrolled per-path RNG
+    # chains cuts launch count K-fold, but K=8 ran 77.4 vs 57.7 ms
+    # sequential (640x480 40pp, v5e): per-path dead-round cond-skips beat
+    # the launch amortization, since a batch runs bounce round r if ANY
+    # of its K paths still has alive lanes.  The machinery stays behind
+    # static.gi_path_batch for wider scenes/shapes.
+    if static.gi_path_batch:
+        K = static.gi_path_batch
+        assert static.paths_per_pixel % K == 0, (static.paths_per_pixel, K)
+    else:
+        K = 1
     # every round traces caller rays (round 0's are the jittered MC camera
     # rays generated in XLA), so only the ray-input kernel is needed; the
     # diff wrapper makes GI fitting work through the fused path too
     from .pallas_grad import build_diff_round0
 
-    kernR = build_diff_round0(static, width, height, interpret, n_rays=n, want_hit=True)
+    kernR = build_diff_round0(static, width, height, interpret, n_rays=K * n, want_hit=True)
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
 
     def hit_of(packed, o):
@@ -1504,17 +1516,28 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
         L = jnp.stack([o["lr"], o["lg"], o["lb"]], axis=-1)
         return win, normal, diffuse, L
 
-    def trace_path_pallas(packed, orig, dir, key):
-        """Mirrors pipeline.trace_path's bounce loop, kernel-backed."""
+    def trace_path_pallas(packed, orig, dir, keys):
+        """Mirrors pipeline.trace_path's bounce loop, kernel-backed.
+
+        ``orig``/``dir`` hold K path-slabs of n rays ([K*n, 3]); ``keys``
+        [K, 2] carries each slab's RNG chain.  Per-bounce uniforms are
+        drawn per slab from its own chain (vmapped split), so every lane
+        sees the exact value the sequential per-path scan would draw."""
         eps = S.shadow_eps(orig.dtype)
         acc = jnp.zeros_like(orig)
         mult = jnp.ones_like(orig)
         alive = jnp.ones(orig.shape[:-1], dtype=bool)
 
+        def draw_uniform(ks):
+            # [K, 2] keys -> [K*n] uniforms, slab j from key j
+            return jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype=orig.dtype))(
+                ks
+            ).reshape(K * n)
+
         # kernel L includes ambient (shade_direct's base); the NEE term
         # (trace_path) wants only the per-light visibility-weighted sum
         def bounce(carry):
-            key, acc, mult, alive, orig, dir = carry
+            keys, acc, mult, alive, orig, dir = carry
             o = kernR(packed, orig, dir)
             win, normal, diffuse, L = hit_of(packed, o)
             hitmask = alive & (win >= 0)
@@ -1536,10 +1559,11 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
             # else: reference direct term == 0 exactly (solidAngle = 0)
 
             # Lambert.spawnRay (shader.d:118-135) — identical RNG stream to
-            # pipeline.trace_path
-            key, k1, k2 = jax.random.split(key, 3)
-            u = jax.random.uniform(k1, win.shape, dtype=orig.dtype)
-            v = jax.random.uniform(k2, win.shape, dtype=orig.dtype)
+            # pipeline.trace_path, per path slab
+            sp = jax.vmap(lambda k: jax.random.split(k, 3))(keys)  # [K, 3, 2]
+            keys = sp[:, 0]
+            u = draw_uniform(sp[:, 1])
+            v = draw_uniform(sp[:, 2])
             theta = 2 * jnp.pi * u
             phi = jnp.arccos(jnp.clip(2 * v - 1, -1.0, 1.0)) - jnp.pi / 2
             w = jnp.stack(
@@ -1553,9 +1577,9 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
             p = orig + dir * ts[..., None]
             orig = jnp.where(hitmask[..., None], p + N * eps, orig)
             dir = jnp.where(hitmask[..., None], w, dir)
-            return (key, acc, mult, hitmask, orig, dir)
+            return (keys, acc, mult, hitmask, orig, dir)
 
-        carry = (key, acc, mult, alive, orig, dir)
+        carry = (keys, acc, mult, alive, orig, dir)
         carry = bounce(carry)
         for _ in range(static.max_trace_depth):
             # skip all-dead rounds at runtime (forward-only path)
@@ -1578,15 +1602,34 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
         def samples(xx, yy, k):
             def body(carry, _):
                 key, acc = carry
-                key, kj, kj2, kr = jax.random.split(key, 4)
-                jx = xx + jax.random.uniform(kj, xx.shape, dtype=xx.dtype)
-                jy = yy + jax.random.uniform(kj2, yy.shape, dtype=yy.dtype)
+                # unroll K iterations of the sequential key chain exactly:
+                # batch j's (kj, kj2, kr) are what sequential path i*K+j
+                # would have drawn
+                kjs, kj2s, krs = [], [], []
+                for _j in range(K):
+                    key, kj, kj2, kr = jax.random.split(key, 4)
+                    kjs.append(kj)
+                    kj2s.append(kj2)
+                    krs.append(kr)
+
+                def jit_u(ks, base):
+                    return (
+                        base[None, :]
+                        + jax.vmap(lambda kk: jax.random.uniform(kk, base.shape, dtype=base.dtype))(
+                            jnp.stack(ks)
+                        )
+                    ).reshape(K * n)
+
+                jx = jit_u(kjs, xx)
+                jy = jit_u(kj2s, yy)
                 o3, d3 = screen_rays(packed.camera, frame, W, H, jx, jy, 0.0)
-                return (key, acc + trace_path_pallas(packed, o3, d3, kr)), None
+                out = trace_path_pallas(packed, o3, d3, jnp.stack(krs))
+                acc = acc + out.reshape(K, n, 3).sum(axis=0)
+                return (key, acc), None
 
             (_, acc), _ = jax.lax.scan(
                 body, (k, jnp.zeros(xx.shape + (3,), dtype=xx.dtype)), None,
-                length=static.paths_per_pixel,
+                length=static.paths_per_pixel // K,
             )
             return acc / static.paths_per_pixel
 
