@@ -1137,22 +1137,34 @@ def combine_outputs(packed: ScenePacked, static: SceneStatic, o, dirs_or_none):
     return color, cont, atten, ro, rd
 
 
-def build_flagship_renderer(static: SceneStatic, width: int, height: int, interpret: bool = False):
-    """Full flagship forward renderer: fused Pallas round 0 + XLA texture
-    gather / env + Pallas bounce rounds (ray-input kernel at compacted
-    width) + the 5-tap AA loop.
+def build_bounce_finisher(
+    static: SceneStatic,
+    width: int,
+    height: int,
+    interpret: bool,
+    n_lanes: int,
+    frame_lanes: int = None,
+):
+    """Reflection/refraction bounce rounds for an ``n_lanes``-wide ray
+    buffer: returns ``finish(packed, color, cont, atten, ro, rd)``.
+    Factored out of build_flagship_renderer so the chunked renderer can
+    instantiate the identical machinery (block/lane/full-width modes,
+    capacity fallbacks) at slab width.
 
-    Returns fn(packed) -> [H, W, 3] radiance.  Differentiable end-to-end:
-    the kernels carry a custom VJP whose backward re-shades in XLA with the
-    kernel's own discrete decisions pinned (ops/pallas_grad.py), and every
-    XLA-side stage (combine, compaction, AA scan) already has a VJP."""
+    ``frame_lanes``: for chunked slabs, the FULL frame's lane count — the
+    default block capacity sizes from it, because the frame's whole
+    reflective set can land inside one slab (measured: the frame-share
+    default overflowed on 8K slabs and silently fell back to full-width
+    XLA rounds, 2.46 s vs 1.09 s/frame)."""
     from ..render import pipeline as P
     from .pallas_grad import build_diff_round0
 
-    kern = build_diff_round0(static, width, height, interpret)
     has_refl = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
     rounds = (static.max_trace_depth + 1) if has_refl else 1
-    n = width * height
+    n = n_lanes  # the moved bodies below read ``n`` unchanged
+
+    def combine(packed, o, dirs_or_none):
+        return combine_outputs(packed, static, o, dirs_or_none)
 
     # bounce rounds re-enter the fused kernel at compacted width (rounded
     # up to whole kernel tiles) — or at FULL width (bounce_mode="full"),
@@ -1188,29 +1200,19 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         if static.bounce_block_capacity:
             cap_blk = static.bounce_block_capacity
         else:
-            # ~1/12 of the frame's blocks (flagship needs 6.1%); overflow
-            # falls back to full-width rounds, never to wrong pixels
-            cap_blk = -(-nblk // 12)
+            # ~1/12 of the FRAME's blocks (flagship needs 6.1%); overflow
+            # falls back to full-width rounds, never to wrong pixels.
+            # Chunked slabs concentrate the frame's reflective set, so
+            # they budget 1/4 of the SLAB's blocks — the measured 8K
+            # ladder: slab/12 overflowed (2.46 s/frame via the XLA
+            # fallback), slab/4 hit 1.09 s, a full-slab cap paid 1.81 s
+            # for unused width.
+            cap_blk = -(-nblk // (4 if frame_lanes else 12))
         cap_blk = max(lanes_per_tile, -(-cap_blk // lanes_per_tile) * lanes_per_tile)
         kern_blk = build_diff_round0(
             static, width, height, interpret, n_rays=cap_blk * BOUNCE_BLOCK
         )
 
-    def combine(packed, o, dirs_or_none):
-        return combine_outputs(packed, static, o, dirs_or_none)
-
-    def _tap_dirs(packed, aa_offset):
-        """Miss-ray directions recomputed XLA-side for the env term."""
-        from .camera import screen_rays
-
-        frame = begin_frame(packed.camera, width / height)
-        dt = packed.node_matrix.dtype
-        off = jnp.asarray(aa_offset, dtype=dt).reshape(2)
-        lin = jnp.arange(n)
-        xs = (lin % width).astype(dt) + off[0]
-        ys = (lin // width).astype(dt) + off[1]
-        _, dirs = screen_rays(packed.camera, frame, float(width), float(height), xs, ys, 0.0)
-        return dirs
 
     def pallas_bounces(packed, color, atten0, alive, orig, dir, n_rounds):
         """Compact the continuation set, then run each remaining round
@@ -1366,6 +1368,45 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             return pallas_bounces(packed, color, atten, cont, ro, rd, rounds - 1)
         return P.continue_bounces(packed, static, color, atten, cont, ro, rd, rounds - 1)
 
+    return _finish_bounces
+
+
+def build_flagship_renderer(static: SceneStatic, width: int, height: int, interpret: bool = False):
+    """Full flagship forward renderer: fused Pallas round 0 + XLA texture
+    gather / env + Pallas bounce rounds (ray-input kernel at compacted
+    width) + the 5-tap AA loop.
+
+    Returns fn(packed) -> [H, W, 3] radiance.  Differentiable end-to-end:
+    the kernels carry a custom VJP whose backward re-shades in XLA with the
+    kernel's own discrete decisions pinned (ops/pallas_grad.py), and every
+    XLA-side stage (combine, compaction, AA scan) already has a VJP."""
+    from ..render import pipeline as P
+    from .pallas_grad import build_diff_round0
+
+    kern = build_diff_round0(static, width, height, interpret)
+    has_refl = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
+    rounds = (static.max_trace_depth + 1) if has_refl else 1
+    n = width * height
+
+    def combine(packed, o, dirs_or_none):
+        return combine_outputs(packed, static, o, dirs_or_none)
+
+    def _tap_dirs(packed, aa_offset):
+        """Miss-ray directions recomputed XLA-side for the env term."""
+        from .camera import screen_rays
+
+        frame = begin_frame(packed.camera, width / height)
+        dt = packed.node_matrix.dtype
+        off = jnp.asarray(aa_offset, dtype=dt).reshape(2)
+        lin = jnp.arange(n)
+        xs = (lin % width).astype(dt) + off[0]
+        ys = (lin // width).astype(dt) + off[1]
+        _, dirs = screen_rays(packed.camera, frame, float(width), float(height), xs, ys, 0.0)
+        return dirs
+
+    _finish_bounces = build_bounce_finisher(static, width, height, interpret, n)
+
+
     def render_tap(packed: ScenePacked, aa_offset):
         o = kern(packed, aa_offset)
         dirs = _tap_dirs(packed, aa_offset) if static.has_env else None
@@ -1373,6 +1414,46 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         return _finish_bounces(packed, color, cont, atten, ro, rd)
 
     mc_mode = static.dof or static.stereo
+
+    if static.chunk_pixels and static.chunk_pixels < n and not mc_mode:
+        # MEMORY-BOUNDED fused path: the reference's bucket decomposition
+        # reborn (renderer.d:194-213), same knob the XLA pipeline honors —
+        # peak HBM scales with the slab, not the frame (an un-chunked 8K
+        # flagship frame wants ~20.6 GB of HBM temps on a 16 GB v5e).
+        # Slabs ride lax.map (differentiable scan); rays come from XLA
+        # screen_rays into the ray-input kernel; the bounce machinery is
+        # the identical build_bounce_finisher at slab width.
+        C = -(-static.chunk_pixels // TILE_N) * TILE_N
+        S = -(-n // C)
+        n_pad = S * C
+        kern_slab = build_diff_round0(static, width, height, interpret, n_rays=C)
+        finish_slab = build_bounce_finisher(
+            static, width, height, interpret, C, frame_lanes=n
+        )
+
+        def render_tap(packed: ScenePacked, aa_offset):  # noqa: F811
+            from .camera import screen_rays
+
+            frame = begin_frame(packed.camera, width / height)
+            dt = packed.node_matrix.dtype
+            off = jnp.asarray(aa_offset, dtype=dt).reshape(2)
+            # pad lanes clamp onto the last pixel (recomputed, discarded)
+            lin = jnp.minimum(jnp.arange(n_pad), n - 1)
+
+            def slab(lin_s):
+                xs = (lin_s % width).astype(dt) + off[0]
+                ys = (lin_s // width).astype(dt) + off[1]
+                o3, d3 = screen_rays(
+                    packed.camera, frame, float(width), float(height), xs, ys, 0.0
+                )
+                o = kern_slab(packed, o3, d3)
+                color, cont, atten, ro, rd = combine(
+                    packed, o, d3 if static.has_env else None
+                )
+                return finish_slab(packed, color, cont, atten, ro, rd)
+
+            img = jax.lax.map(slab, lin.reshape(S, C))
+            return img.reshape(n_pad, 3)[:n]
     if mc_mode:
         # DoF / stereo: XLA generates the (jittered, offset) rays with the
         # SAME jax.random stream as render/pipeline.render_samples, the

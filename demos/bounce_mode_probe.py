@@ -68,6 +68,16 @@ def main():
     no_aa = "--no-aa" in args
     if no_aa:
         args.remove("--no-aa")
+    chunk = None
+    if "--chunk" in args:
+        i = args.index("--chunk")
+        chunk = int(args[i + 1])
+        del args[i : i + 2]
+    blkcap = None
+    if "--blkcap" in args:
+        i = args.index("--blkcap")
+        blkcap = int(args[i + 1])
+        del args[i : i + 2]
     modes = args or ["full", "block"]
     packed, static = build(w, h)
     print(f"# devices: {jax.devices()}  {w}x{h}  aa={not no_aa}", flush=True)
@@ -79,6 +89,8 @@ def main():
             bounce_capacity=w * h // 16,
             bounce_mode=mode,
             aa_enabled=not no_aa,
+            chunk_pixels=chunk,
+            bounce_block_capacity=blkcap,
         )
         renderer = PT.build_flagship_renderer(st, w, h)
         timeit(mode, renderer, packed)

@@ -169,6 +169,30 @@ class TestKernelParity:
         d = np.abs(out_o - out_f).max(-1)
         assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
 
+    def test_chunked_fused_matches_unchunked(self, data_dir):
+        """chunk_pixels through the FUSED path (memory-bounded slabs via
+        lax.map + the ray-input kernel) must match the whole-frame fused
+        render; rays come from XLA screen_rays instead of in-kernel raygen,
+        so the usual kernel/XLA fp tolerance applies."""
+        import dataclasses
+
+        sc = _scene(data_dir, w=64, h=48)
+        m = T.Reflection(name="m", color=(0.9, 0.9, 0.9))
+        sc.shaders.append(m)
+        sc.nodes.append(
+            T.Node(name="ball", geometry=T.Sphere(name="b", center=(0, 60, 120), R=40.0), shader=m)
+        )
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer
+
+        st = dataclasses.replace(static, aa_enabled=False)
+        st_c = dataclasses.replace(st, chunk_pixels=1024)  # 3 slabs of 64x48
+        out = np.asarray(build_flagship_renderer(st, 64, 48, interpret=True)(packed))
+        out_c = np.asarray(build_flagship_renderer(st_c, 64, 48, interpret=True)(packed))
+        d = np.abs(out - out_c).max(-1)
+        assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
+        assert np.median(d) < 2e-4
+
     def test_aa_taps_match_xla(self, data_dir):
         """5-tap AA through the flagship renderer == the XLA AA pipeline."""
         sc = _scene(data_dir, w=32, h=24)
