@@ -153,7 +153,9 @@ class SceneStatic:
     # (not reverse-differentiable; see trace_whitted)
     fast_forward: bool = False
     # bound peak device memory: render the pixel batch in lax.map slabs of
-    # this many rays (None = whole frame at once); see render_frame
+    # this many rays (None = whole frame at once); honored by BOTH the XLA
+    # pipeline (render_frame) and the fused Pallas renderer (slabs through
+    # the ray-input kernel — an un-chunked 8K frame OOMs a 16 GB v5e)
     chunk_pixels: Optional[int] = None
     # wavefront compaction (fast_forward only): bounce rounds 1+ run on a
     # compacted ray buffer of this many lanes when the live set fits

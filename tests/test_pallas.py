@@ -193,6 +193,17 @@ class TestKernelParity:
         assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
         assert np.median(d) < 2e-4
 
+        # the chunked path (lax.map slabs) must stay differentiable with
+        # gradients matching the whole-frame fused VJP
+        def loss(st):
+            r = build_flagship_renderer(st, 64, 48, interpret=True)
+            return lambda p: (r(p) ** 2).mean()
+
+        g = jax.grad(loss(st))(packed)
+        g_c = jax.grad(loss(st_c))(packed)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_c)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-6)
+
     def test_aa_taps_match_xla(self, data_dir):
         """5-tap AA through the flagship renderer == the XLA AA pipeline."""
         sc = _scene(data_dir, w=32, h=24)
