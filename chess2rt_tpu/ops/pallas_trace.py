@@ -1143,7 +1143,7 @@ def build_bounce_finisher(
     height: int,
     interpret: bool,
     n_lanes: int,
-    frame_lanes: int = None,
+    is_slab: bool = False,
 ):
     """Reflection/refraction bounce rounds for an ``n_lanes``-wide ray
     buffer: returns ``finish(packed, color, cont, atten, ro, rd)``.
@@ -1151,11 +1151,12 @@ def build_bounce_finisher(
     instantiate the identical machinery (block/lane/full-width modes,
     capacity fallbacks) at slab width.
 
-    ``frame_lanes``: for chunked slabs, the FULL frame's lane count — the
-    default block capacity sizes from it, because the frame's whole
-    reflective set can land inside one slab (measured: the frame-share
-    default overflowed on 8K slabs and silently fell back to full-width
-    XLA rounds, 2.46 s vs 1.09 s/frame)."""
+    ``is_slab``: True when ``n_lanes`` is a chunk_pixels slab rather than
+    the whole frame — the default block capacity budgets a larger share
+    (slab/4 vs frame/12), because the frame's whole reflective set can
+    land inside one slab (measured: the frame-share default overflowed on
+    8K slabs and silently fell back to full-width XLA rounds, 2.46 s vs
+    1.09 s/frame)."""
     from ..render import pipeline as P
     from .pallas_grad import build_diff_round0
 
@@ -1207,7 +1208,7 @@ def build_bounce_finisher(
             # ladder: slab/12 overflowed (2.46 s/frame via the XLA
             # fallback), slab/4 hit 1.09 s, a full-slab cap paid 1.81 s
             # for unused width.
-            cap_blk = -(-nblk // (4 if frame_lanes else 12))
+            cap_blk = -(-nblk // (4 if is_slab else 12))
         cap_blk = max(lanes_per_tile, -(-cap_blk // lanes_per_tile) * lanes_per_tile)
         kern_blk = build_diff_round0(
             static, width, height, interpret, n_rays=cap_blk * BOUNCE_BLOCK
@@ -1383,10 +1384,9 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
     from ..render import pipeline as P
     from .pallas_grad import build_diff_round0
 
-    kern = build_diff_round0(static, width, height, interpret)
-    has_refl = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
-    rounds = (static.max_trace_depth + 1) if has_refl else 1
     n = width * height
+    mc_mode = static.dof or static.stereo
+    chunked = bool(static.chunk_pixels and static.chunk_pixels < n)
 
     def combine(packed, o, dirs_or_none):
         return combine_outputs(packed, static, o, dirs_or_none)
@@ -1404,18 +1404,17 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         _, dirs = screen_rays(packed.camera, frame, float(width), float(height), xs, ys, 0.0)
         return dirs
 
-    _finish_bounces = build_bounce_finisher(static, width, height, interpret, n)
+    if not chunked and not mc_mode:
+        kern = build_diff_round0(static, width, height, interpret)
+        _finish_bounces = build_bounce_finisher(static, width, height, interpret, n)
 
+        def render_tap(packed: ScenePacked, aa_offset):
+            o = kern(packed, aa_offset)
+            dirs = _tap_dirs(packed, aa_offset) if static.has_env else None
+            color, cont, atten, ro, rd = combine(packed, o, dirs)
+            return _finish_bounces(packed, color, cont, atten, ro, rd)
 
-    def render_tap(packed: ScenePacked, aa_offset):
-        o = kern(packed, aa_offset)
-        dirs = _tap_dirs(packed, aa_offset) if static.has_env else None
-        color, cont, atten, ro, rd = combine(packed, o, dirs)
-        return _finish_bounces(packed, color, cont, atten, ro, rd)
-
-    mc_mode = static.dof or static.stereo
-
-    if static.chunk_pixels and static.chunk_pixels < n and not mc_mode:
+    if chunked and not mc_mode:
         # MEMORY-BOUNDED fused path: the reference's bucket decomposition
         # reborn (renderer.d:194-213), same knob the XLA pipeline honors —
         # peak HBM scales with the slab, not the frame (an un-chunked 8K
@@ -1428,10 +1427,10 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         n_pad = S * C
         kern_slab = build_diff_round0(static, width, height, interpret, n_rays=C)
         finish_slab = build_bounce_finisher(
-            static, width, height, interpret, C, frame_lanes=n
+            static, width, height, interpret, C, is_slab=True
         )
 
-        def render_tap(packed: ScenePacked, aa_offset):  # noqa: F811
+        def render_tap(packed: ScenePacked, aa_offset):
             from .camera import screen_rays
 
             frame = begin_frame(packed.camera, width / height)
@@ -1458,12 +1457,46 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         # DoF / stereo: XLA generates the (jittered, offset) rays with the
         # SAME jax.random stream as render/pipeline.render_samples, the
         # ray-input kernel traces them — MC modes get the fused path too.
-        kern_rays = build_diff_round0(static, width, height, interpret, n_rays=n)
+        if chunked:
+            # chunk_pixels bounds HBM here too: each MC pass lax.maps the
+            # ray batch through a slab-width kernel + bounce finisher
+            C = -(-static.chunk_pixels // TILE_N) * TILE_N
+            S_mc = -(-n // C)
+            pad_mc = S_mc * C - n
+            kern_rays = build_diff_round0(static, width, height, interpret, n_rays=C)
+            finish_mc = build_bounce_finisher(
+                static, width, height, interpret, C, is_slab=True
+            )
 
-        def trace_rays(packed, orig, dir):
-            o = kern_rays(packed, orig, dir)
-            color, cont, atten, ro, rd = combine(packed, o, dir if static.has_env else None)
-            return _finish_bounces(packed, color, cont, atten, ro, rd)
+            def trace_rays(packed, orig, dir):
+                def padded(a):
+                    # pad lanes re-trace the last ray; outputs are sliced
+                    # off below, so their cotangents are exactly zero
+                    if pad_mc:
+                        a = jnp.concatenate(
+                            [a, jnp.broadcast_to(a[-1:], (pad_mc, 3))]
+                        )
+                    return a.reshape(S_mc, C, 3)
+
+                def slab(args):
+                    o3, d3 = args
+                    o = kern_rays(packed, o3, d3)
+                    color, cont, atten, ro, rd = combine(
+                        packed, o, d3 if static.has_env else None
+                    )
+                    return finish_mc(packed, color, cont, atten, ro, rd)
+
+                img = jax.lax.map(slab, (padded(orig), padded(dir)))
+                return img.reshape(S_mc * C, 3)[:n]
+
+        else:
+            kern_rays = build_diff_round0(static, width, height, interpret, n_rays=n)
+            finish_mc = build_bounce_finisher(static, width, height, interpret, n)
+
+            def trace_rays(packed, orig, dir):
+                o = kern_rays(packed, orig, dir)
+                color, cont, atten, ro, rd = combine(packed, o, dir if static.has_env else None)
+                return finish_mc(packed, color, cont, atten, ro, rd)
 
         def render(packed: ScenePacked, key=None):
             from .camera import screen_rays

@@ -488,9 +488,14 @@ def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
             # bounce rounds + AA loop); differentiable via the custom-VJP
             # kernels (ops/pallas_grad.py), so grad traces dispatch too
             return PT.build_flagship_renderer(static, W, H, interp)(packed, key)
-        if PT.supports_gi(static):
+        if PT.supports_gi(static) and not (
+            static.chunk_pixels and static.chunk_pixels < W * H
+        ):
             # GI: closest-hit + NEE light sums in-kernel, BRDF sampling in
-            # XLA with the same jax.random stream as trace_path
+            # XLA with the same jax.random stream as trace_path.  The fused
+            # GI renderer traces the whole frame at once, so when the
+            # chunk_pixels memory knob is in play the XLA chunked pipeline
+            # below takes over (the knob wins over speed).
             return PT.build_gi_renderer(static, W, H, interp)(packed, key)
 
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=dt), jnp.arange(W, dtype=dt), indexing="ij")

@@ -40,7 +40,11 @@ def main():
     print(f"# devices: {jax.devices()}  {w}x{h}", flush=True)
     n = w * h
     kern = build_diff_round0(static, w, h, False)
-    sizes = [128, 256, 512, 1024]  # 2048 doesn't divide 1080p's 2073600
+    # keep only block sizes that divide the pixel count (2048 doesn't
+    # divide 1080p's 2073600; arbitrary --size values prune further)
+    sizes = [b for b in (128, 256, 512, 1024) if n % b == 0]
+    if not sizes:
+        raise SystemExit(f"{w}x{h}: no probe block size divides n={n}")
 
     @jax.jit
     def stats(packed):

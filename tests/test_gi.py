@@ -140,6 +140,68 @@ class TestGiNeeExtension:
         assert (z < 4.0).mean() > 0.97, (z.max(), (z >= 4.0).mean())
         assert md.max() > 0.01 and mo.max() > 0.01
 
+    def test_gi_path_batch_matches_sequential(self, data_dir):
+        """gi_path_batch=K unrolls the sequential per-path RNG chain
+        exactly (pallas_trace.build_gi_renderer: batch j of launch i draws
+        the keys sequential path i*K+j would have drawn), so a K=8 render
+        must reproduce the K=1 render up to the accumulation-order fp
+        noise of reshape(K, n, 3).sum(0) vs K incremental adds."""
+        from chess2rt_tpu.ops.pallas_trace import build_gi_renderer, supports_gi
+
+        sc = _scene(data_dir, w=16, h=12, paths=16)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        static = dataclasses.replace(static, gi_point_light_direct=True)
+        assert supports_gi(static)
+        st_b = dataclasses.replace(static, gi_path_batch=8)
+        key = jax.random.PRNGKey(7)
+        out1 = np.asarray(build_gi_renderer(static, 16, 12, interpret=True)(packed, key))
+        out8 = np.asarray(build_gi_renderer(st_b, 16, 12, interpret=True)(packed, key))
+        np.testing.assert_allclose(out8, out1, rtol=1e-5, atol=1e-5)
+
+    def test_gi_gradients_fused_matches_xla(self, data_dir):
+        """Inverse rendering under GI: render_frame is differentiable on
+        the path-traced pipeline, and the fused GI renderer's VJP (via the
+        custom-VJP ray-input kernel) must match the pure-XLA VJP — same
+        jax.random stream, same math, so gradients agree to fp."""
+        sc = _scene(data_dir, w=16, h=12, paths=4)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        static = dataclasses.replace(static, gi_point_light_direct=True)
+
+        def loss(p, st):
+            return (render_frame(p, st, jax.random.PRNGKey(0)) ** 2).mean()
+
+        g = jax.grad(loss)(packed, static)
+        st_f = dataclasses.replace(static, use_pallas=True, interpret_pallas=True)
+        g_f = jax.grad(loss)(packed, st_f)
+        nonzero = 0
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_f)):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size == 0:
+                continue
+            assert np.isfinite(a).all() and np.isfinite(b).all()
+            scale = np.abs(a).max() + 1e-12
+            assert np.abs(a - b).max() / scale < 1e-4, (a, b)
+            nonzero += np.abs(a).sum() > 0
+        assert nonzero >= 10  # lights, colors, geometry params all carry signal
+
+    def test_gi_chunk_pixels_falls_back_to_chunked_xla(self, data_dir):
+        """The fused GI renderer is whole-frame; with chunk_pixels below
+        the frame size render_frame must take the memory-bounded XLA
+        chunked path instead of silently ignoring the knob."""
+        from chess2rt_tpu.render import pipeline as P
+
+        sc = _scene(data_dir, w=16, h=12, paths=8)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        static = dataclasses.replace(static, gi_point_light_direct=True)
+        st = dataclasses.replace(
+            static, use_pallas=True, interpret_pallas=True, chunk_pixels=64
+        )
+        from chess2rt_tpu.ops.pallas_trace import supports_gi
+
+        assert supports_gi(st)  # the knob, not capability, forces the fallback
+        out = np.asarray(render_frame(packed, st, jax.random.PRNGKey(0)))
+        assert np.isfinite(out).all() and out.max() > 0.01
+
     def test_nonquirk_oracle_matches_device(self, data_dir):
         """gi_multiplier_quirk=False cross-parity (ADVICE round-1 medium):
         the oracle must carry throughput exactly once, like the device."""

@@ -169,11 +169,15 @@ class TestKernelParity:
         d = np.abs(out_o - out_f).max(-1)
         assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
 
-    def test_chunked_fused_matches_unchunked(self, data_dir):
+    @pytest.mark.parametrize("chunk", [1024, 2048])
+    def test_chunked_fused_matches_unchunked(self, data_dir, chunk):
         """chunk_pixels through the FUSED path (memory-bounded slabs via
         lax.map + the ray-input kernel) must match the whole-frame fused
         render; rays come from XLA screen_rays instead of in-kernel raygen,
-        so the usual kernel/XLA fp tolerance applies."""
+        so the usual kernel/XLA fp tolerance applies.  chunk=1024 divides
+        the 3072-pixel frame exactly; chunk=2048 pads to 2 slabs of 2048
+        (n_pad=4096 > n), exercising the pad-lane clamp, the [:n] slice,
+        and the zero-cotangent guarantee on the duplicated last pixel."""
         import dataclasses
 
         sc = _scene(data_dir, w=64, h=48)
@@ -186,7 +190,7 @@ class TestKernelParity:
         from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer
 
         st = dataclasses.replace(static, aa_enabled=False)
-        st_c = dataclasses.replace(st, chunk_pixels=1024)  # 3 slabs of 64x48
+        st_c = dataclasses.replace(st, chunk_pixels=chunk)
         out = np.asarray(build_flagship_renderer(st, 64, 48, interpret=True)(packed))
         out_c = np.asarray(build_flagship_renderer(st_c, 64, 48, interpret=True)(packed))
         d = np.abs(out - out_c).max(-1)
@@ -252,6 +256,34 @@ class TestMonteCarloModes:
         ref = np.asarray(render_frame(packed, st, key))
         d = np.abs(out - ref).max(-1)
         assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
+
+    def test_chunked_dof_matches_unchunked(self, data_dir):
+        """chunk_pixels in the MC (DoF/stereo) fused path: each MC pass
+        lax.maps the ray batch through a slab-width ray-input kernel +
+        bounce finisher; the RNG stream is generated frame-wide BEFORE
+        slabbing, so the result must reproduce the whole-frame MC render
+        (2048-pixel chunks on a 3072-pixel frame: 2 slabs, 1024 pad
+        lanes re-tracing the last ray and sliced off)."""
+        import dataclasses
+
+        sc = parse_scene_from_file(str(data_dir / "zaphod.sdl"))
+        sc.settings.frameWidth, sc.settings.frameHeight = 64, 48
+        sc.camera.set_frame_size(64, 48)
+        sc.settings.AAEnabled = False
+        sc.camera.numSamples = 2
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert static.dof
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer, supports
+
+        assert supports(static)
+        st = dataclasses.replace(static, aa_enabled=False)
+        st_c = dataclasses.replace(st, chunk_pixels=2048)
+        key = jax.random.PRNGKey(11)
+        out = np.asarray(build_flagship_renderer(st, 64, 48, interpret=True)(packed, key))
+        out_c = np.asarray(build_flagship_renderer(st_c, 64, 48, interpret=True)(packed, key))
+        d = np.abs(out - out_c).max(-1)
+        assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
+        assert np.median(d) < 2e-4
 
     def test_stereo_matches_xla(self, data_dir):
         import dataclasses
