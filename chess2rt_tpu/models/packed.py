@@ -141,6 +141,15 @@ class SceneStatic:
     bump_sizes: Tuple[Tuple[int, int], ...] = ()
     max_trace_depth: int = 4
     aa_enabled: bool = True
+    # EXTENSION (GlobalSettings.adaptiveAA): honor the needs-AA mask the
+    # reference computes and ignores (renderer.d:150-186) — resample only
+    # flagged pixels.  Detection keeps tooDifferent's default 0.1
+    # threshold (the AAThreshold-never-forwarded quirk, renderer.d:172).
+    aa_adaptive: bool = False
+    # fused adaptive-AA path: flagged 128-lane blocks compact into this
+    # many block slots for the 4 extra taps (None = frame_blocks // 4);
+    # overflow lax.cond-falls-back to full-width taps + mask select
+    aa_block_capacity: Optional[int] = None
     dof: bool = False
     dof_samples: int = 25
     gi_enabled: bool = False
@@ -485,6 +494,7 @@ def pack_scene(scene: T.Scene, dtype=jnp.float32) -> Tuple[ScenePacked, SceneSta
         bump_sizes=tuple((b.shape[0], b.shape[1]) for b in bumps),
         max_trace_depth=s.maxTraceDepth,
         aa_enabled=s.AAEnabled,
+        aa_adaptive=getattr(s, "adaptiveAA", False),
         dof=cam.dof,
         dof_samples=cam.numSamples,
         gi_enabled=s.GIEnabled,

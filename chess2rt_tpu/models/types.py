@@ -52,6 +52,13 @@ class GlobalSettings:
     maxTraceDepth: int = 4
     ambientLightColor: tuple = BLACK
     debugEnabled: bool = True
+    # EXTENSION (off by default): honor the needs-AA mask the reference
+    # computes and then ignores (renderer.d:150-186 detects, :183-186
+    # resamples every pixel unconditionally).  True = resample only
+    # flagged pixels (the evident intent); detection still uses
+    # tooDifferent's default 0.1 threshold, like the reference
+    # (AAThreshold is never forwarded, renderer.d:172).
+    adaptiveAA: bool = False
 
     def adjust_frame_size(self) -> None:
         """Round the frame up to a bucket multiple (global_settings.d:38-45).

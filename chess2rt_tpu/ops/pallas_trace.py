@@ -1549,18 +1549,122 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
                     return (key, acc + s), None
 
                 (_, acc), _ = jax.lax.scan(aa_body, (key, img), offsets)
-                img = acc / 5.0
+                if static.aa_adaptive:
+                    # adaptiveAA: same key stream, the mask only selects
+                    mask = P.aa_detect(img.reshape(height, width, 3)).reshape(-1)
+                    img = jnp.where(mask[:, None], acc / 5.0, img)
+                else:
+                    img = acc / 5.0
             return img.reshape(height, width, 3)
 
         render.tap = None  # MC modes have no single deterministic tap
         return render
 
+    aa_fast = (
+        static.aa_enabled
+        and static.aa_adaptive
+        and not chunked
+        and n % BOUNCE_BLOCK == 0
+    )
+    if aa_fast:
+        # adaptiveAA extension, BLOCK-compacted (the AA set is screen-local
+        # exactly like the bounce continuation set — edges cluster): flagged
+        # 128-lane blocks gather into cap_aa block slots, the 4 extra taps
+        # run the ray-input kernel + bounce finisher at cap_aa*128 width,
+        # and flagged lanes scatter back as unique block-row sets.  Overflow
+        # lax.cond-falls-back to full-width taps + mask select.
+        B = BOUNCE_BLOCK
+        nblk = n // B
+        lanes_per_tile = TILE_N // B
+        cap_aa = static.aa_block_capacity or -(-nblk // 4)
+        cap_aa = max(lanes_per_tile, -(-cap_aa // lanes_per_tile) * lanes_per_tile)
+        kern_aa = build_diff_round0(static, width, height, interpret, n_rays=cap_aa * B)
+        finish_aa = build_bounce_finisher(
+            static, width, height, interpret, cap_aa * B, is_slab=True
+        )
+        offsets4 = jnp.asarray(P.AA_KERNEL, dtype=jnp.float32)
+
+        def render(packed: ScenePacked, key=None):
+            from .camera import screen_rays
+
+            base = render_tap(packed, jnp.zeros(2, jnp.float32))  # [n, 3]
+            mask = P.aa_detect(base.reshape(height, width, 3)).reshape(-1)
+            blk_flag = mask.reshape(nblk, B).any(axis=1)
+            count = blk_flag.sum()
+
+            def full_path(base):
+                def body(acc, off):
+                    return acc + render_tap(packed, off), None
+
+                acc, _ = jax.lax.scan(body, base, offsets4)
+                return jnp.where(mask[:, None], acc / 5.0, base)
+
+            def compact_path(base):
+                frame = begin_frame(packed.camera, width / height)
+                dt = packed.node_matrix.dtype
+                sel = P.compact_indices(blk_flag, nblk, cap_aa)
+                selc = jnp.minimum(sel, nblk - 1)  # sentinel clamp
+                blk_live = jnp.arange(cap_aa) < count
+                lane_live = jnp.broadcast_to(blk_live[:, None], (cap_aa, B)).reshape(-1)
+                lin = (selc[:, None] * B + jnp.arange(B)).reshape(-1)
+                xs0 = (lin % width).astype(dt)
+                ys0 = (lin // width).astype(dt)
+                # (1, B, ...) slab gathers on free major-split views —
+                # never [cap, B*C] wide rows (relayout; see perf rule 10)
+                base_g = jnp.take(base.reshape(nblk, B, 3), selc, axis=0)
+                mask_g = jnp.take(mask.reshape(nblk, B), selc, axis=0).reshape(-1)
+
+                def tap(acc, off):
+                    o3, d3 = screen_rays(
+                        packed.camera, frame, float(width), float(height),
+                        xs0 + off[0], ys0 + off[1], 0.0,
+                    )
+                    o = kern_aa(packed, o3, d3)
+                    color, cont, atten, ro, rd = combine(
+                        packed, o, d3 if static.has_env else None
+                    )
+                    return acc + finish_aa(packed, color, cont, atten, ro, rd), None
+
+                acc, _ = jax.lax.scan(tap, base_g.reshape(cap_aa * B, 3), offsets4)
+                blended = jnp.where(
+                    (mask_g & lane_live)[:, None],
+                    acc / 5.0,
+                    base_g.reshape(cap_aa * B, 3),
+                )
+                tgt = jnp.where(blk_live, sel, nblk)  # junk -> dropped sentinel
+                out = (
+                    base.reshape(nblk, B, 3)
+                    .at[tgt]
+                    .set(blended.reshape(cap_aa, B, 3), mode="drop", indices_are_sorted=True)
+                )
+                return out.reshape(n, 3)
+
+            img = jax.lax.cond(count <= cap_aa, compact_path, full_path, base)
+            return img.reshape(height, width, 3)
+
+        render.tap = render_tap
+        return render
+
     def render(packed: ScenePacked, key=None):
         if not static.aa_enabled:
             return render_tap(packed, jnp.zeros(2, jnp.float32)).reshape(height, width, 3)
+        offsets4 = jnp.asarray(P.AA_KERNEL, dtype=jnp.float32)
+        if static.aa_adaptive:
+            # adaptiveAA on a chunked / non-block-divisible frame: taps run
+            # full-width (memory-bounded via render_tap's own slabs), the
+            # mask only selects — correct semantics, no compaction win
+            base = render_tap(packed, jnp.zeros(2, jnp.float32))
+            mask = P.aa_detect(base.reshape(height, width, 3)).reshape(-1)
+
+            def body(acc, off):
+                return acc + render_tap(packed, off), None
+
+            acc, _ = jax.lax.scan(body, base, offsets4)
+            img = jnp.where(mask[:, None], acc / 5.0, base)
+            return img.reshape(height, width, 3)
         # all 5 AA taps through ONE traced tap (the offset is a runtime
         # SMEM parameter): 1/5th the trace/compile of unrolled taps
-        offsets = jnp.asarray([(0.0, 0.0)] + list(P.AA_KERNEL), dtype=jnp.float32)
+        offsets = jnp.concatenate([jnp.zeros((1, 2), jnp.float32), offsets4])
 
         def body(acc, off):
             return acc + render_tap(packed, off), None
@@ -1759,7 +1863,12 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
                 return (key, acc + s), None
 
             (_, acc), _ = jax.lax.scan(aa_body, (key, img), offsets)
-            img = acc / 5.0
+            if static.aa_adaptive:
+                # adaptiveAA: same key stream, the mask only selects
+                mask = P.aa_detect(img.reshape(height, width, 3)).reshape(-1)
+                img = jnp.where(mask[:, None], acc / 5.0, img)
+            else:
+                img = acc / 5.0
         return img.reshape(height, width, 3)
 
     return render

@@ -529,6 +529,7 @@ class OracleRenderer:
         scene: T.Scene,
         gi_multiplier_quirk: bool = True,
         gi_point_light_direct: bool = False,
+        aa_adaptive: bool = False,
         seed: int = 0,
     ):
         self.scene = scene
@@ -536,6 +537,10 @@ class OracleRenderer:
         # extension: standard NEE against point lights in GI, replacing the
         # reference's solidAngle==0 zero term (see pipeline trace_path)
         self.gi_point_light_direct = gi_point_light_direct
+        # extension (GlobalSettings.adaptiveAA): resample only the pixels
+        # the needs-AA detect flags, instead of the reference's
+        # unconditional pass-4 resample (renderer.d:183-186 quirk)
+        self.aa_adaptive = aa_adaptive or getattr(scene.settings, "adaptiveAA", False)
         self.rng = np.random.default_rng(seed)
         self.frame = begin_frame(scene.camera)
 
@@ -832,8 +837,18 @@ class OracleRenderer:
         # AA-resample (renderer.d:233-251): 4 extra kernel samples, avg of 5.
         # NB the reference resamples EVERY pixel in pass 4 (renderPixelAA is
         # called unconditionally, renderer.d:183-186) — needsAA is computed
-        # but never read!  Preserve that quirk: resample everything.
+        # but never read!  Default: preserve that quirk, resample everything.
+        # aa_adaptive (extension): honor the mask — only flagged pixels get
+        # the 4 extra taps; the rest keep their pass-2 sample.
         kernel = [(0.3, 0.3), (0.6, 0.0), (0.0, 0.6), (0.6, 0.6)]
+        if self.aa_adaptive:
+            sel = np.nonzero(needs_aa.reshape(-1))[0]
+            out = img.reshape(-1, 3).copy()
+            acc = out[sel].copy()
+            for kx, ky in kernel:
+                acc += self.render_samples(xf[sel] + kx, yf[sel] + ky)
+            out[sel] = acc / 5.0
+            return out.reshape(H, W, 3)
         acc = img.reshape(-1, 3).copy()
         for kx, ky in kernel:
             acc += self.render_samples(xf + kx, yf + ky)

@@ -87,11 +87,22 @@ def _frame_from_samples(flat, static: SceneStatic):
     return flat[:n].reshape(static.height, static.width, 3)
 
 
-def _sample_pixels(packed: ScenePacked, static: SceneStatic, xf, yf, key):
+def _sample_pixels(packed: ScenePacked, static: SceneStatic, xf, yf, key, mask=None, base=None):
     """Per-shard sampling incl. the AA supersample — identical math to the
-    single-chip render_frame (render/pipeline.py)."""
+    single-chip render_frame (render/pipeline.py).
+
+    ``mask`` (adaptiveAA extension): the per-shard slice of the FULL-frame
+    needs-AA mask — it cannot be computed here because the detect pass
+    reads cross-shard pixel neighbourhoods; callers compute it on the
+    global base frame (aa_detect halo comms are inserted by the SPMD
+    partitioner) and pass the shard in.  The mask is stop-gradient, so a
+    mask from a separate forward pass is exactly the adaptive semantics.
+
+    ``base``: the shard's already-rendered pass-2 sample, reused by the
+    forward adaptive path (grad callers must leave it None so unflagged
+    pixels keep their gradient path through the in-trace base render)."""
     frame = begin_frame(packed.camera, static.width / static.height)
-    img = render_samples(packed, static, frame, xf, yf, key)
+    img = base if base is not None else render_samples(packed, static, frame, xf, yf, key)
     if static.aa_enabled:
         offsets = jnp.asarray(AA_KERNEL, dtype=xf.dtype)
 
@@ -102,7 +113,10 @@ def _sample_pixels(packed: ScenePacked, static: SceneStatic, xf, yf, key):
             return (i + 1, acc + s), None
 
         (_, acc), _ = jax.lax.scan(aa_body, (jnp.int32(1), img), offsets)
-        img = acc / 5.0
+        if mask is not None:
+            img = jnp.where(mask[:, None], acc / 5.0, img)
+        else:
+            img = acc / 5.0
     return img
 
 
@@ -123,18 +137,63 @@ def make_sharded_render_fn(static: SceneStatic, mesh: Mesh):
         key = jax.random.fold_in(key, _linear_index(axes))
         return _sample_pixels(packed, static, xf, yf, key)
 
+    adaptive = static.aa_enabled and static.aa_adaptive
+    if adaptive:
+        import dataclasses
+
+        static_base = dataclasses.replace(static, aa_enabled=False)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(axes), P(axes), P()),
+            out_specs=P(axes),
+        )
+        def shard_base(packed: ScenePacked, xf, yf, key):
+            key = jax.random.fold_in(key, _linear_index(axes))
+            return _sample_pixels(packed, static_base, xf, yf, key)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(axes), P(axes), P(axes), P(axes, None), P()),
+            out_specs=P(axes),
+        )
+        def shard_taps(packed: ScenePacked, xf, yf, mask, base, key):
+            key = jax.random.fold_in(key, _linear_index(axes))
+            return _sample_pixels(packed, static, xf, yf, key, mask=mask, base=base)
+
     n_shards = mesh.devices.size
 
     @jax.jit
     def fn(packed: ScenePacked, key):
         dt = packed.node_matrix.dtype
-        xf, yf, _ = _pixel_coords(static, n_shards, np.float64)
+        xf, yf, n = _pixel_coords(static, n_shards, np.float64)
         xs = jax.device_put(jnp.asarray(xf, dtype=dt), NamedSharding(mesh, P(axes)))
         ys = jax.device_put(jnp.asarray(yf, dtype=dt), NamedSharding(mesh, P(axes)))
-        flat = shard_render(packed, xs, ys, key)
+        if adaptive:
+            # adaptiveAA: sharded base pass, the needs-AA detect on the
+            # GLOBAL frame (the partitioner inserts the halo exchange for
+            # the neighbour reads), then sharded taps with mask select
+            base = shard_base(packed, xs, ys, key)
+            mask = _mask_from_base(base, static)
+            flat = shard_taps(packed, xs, ys, mask, base, key)
+        else:
+            flat = shard_render(packed, xs, ys, key)
         return _frame_from_samples(flat, static)
 
     return fn
+
+
+def _mask_from_base(base_flat, static: SceneStatic):
+    """Padded flat needs-AA mask from the padded flat sharded base pass
+    (adaptiveAA): detect runs on the global [H, W, 3] frame."""
+    from ..render.pipeline import aa_detect
+
+    n = static.width * static.height
+    pad = base_flat.shape[0] - n
+    mask = aa_detect(base_flat[:n].reshape(static.height, static.width, 3)).reshape(-1)
+    return jnp.concatenate([mask, jnp.zeros(pad, dtype=bool)])
 
 
 def render_frame_distributed(packed: ScenePacked, static: SceneStatic, mesh=None, key=None):
@@ -153,15 +212,20 @@ def make_sharded_value_and_grad(static: SceneStatic, mesh: Mesh):
     n_shards = mesh.devices.size
     axes = _axes(mesh)
 
-    def shard_loss(packed, xf, yf, target, weight, key):
-        img = _sample_pixels(packed, static, xf, yf, key)
+    adaptive = static.aa_enabled and static.aa_adaptive
+
+    def shard_loss(packed, xf, yf, target, weight, mask, key):
+        # adaptiveAA: the (stop-gradient) mask comes from a separate
+        # forward base pass; base renders IN-trace so unflagged pixels
+        # keep their gradient path
+        img = _sample_pixels(packed, static, xf, yf, key, mask=mask if adaptive else None)
         # weight zeroes the padding lanes so they don't pollute the loss
         return ((img - target) ** 2 * weight[..., None]).sum() / (static.width * static.height * 3)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axes), P(axes), P(axes, None), P(axes), P()),
+        in_specs=(P(), P(axes), P(axes), P(axes, None), P(axes), P(axes), P()),
         out_specs=(P(), P()),
         # the texel-gradient custom VJP (ops/shade._quad_gather) is opaque
         # to the varying-mesh-axes inference, which then can't prove the
@@ -170,9 +234,9 @@ def make_sharded_value_and_grad(static: SceneStatic, mesh: Mesh):
         # tests/test_parallel.py)
         check_vma=False,
     )
-    def shard_step(packed, xf, yf, target, weight, key):
+    def shard_step(packed, xf, yf, target, weight, mask, key):
         key = jax.random.fold_in(key, _linear_index(axes))
-        loss, grads = jax.value_and_grad(shard_loss)(packed, xf, yf, target, weight, key)
+        loss, grads = jax.value_and_grad(shard_loss)(packed, xf, yf, target, weight, mask, key)
         # Per-shard gradients are combined by ONE explicit psum per leaf —
         # the ICI/DCN all-reduce of SURVEY.md §5.8 (on a 2-D (host, chip)
         # mesh XLA decomposes it into an ICI stage and a DCN stage),
@@ -183,6 +247,23 @@ def make_sharded_value_and_grad(static: SceneStatic, mesh: Mesh):
         # correctness vs single-device is pinned by tests/test_parallel.py.)
         grads = jax.tree.map(lambda g: jax.lax.psum(g, axes), grads)
         return jax.lax.psum(loss, axes), grads
+
+    if adaptive:
+        import dataclasses
+
+        static_base = dataclasses.replace(static, aa_enabled=False)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(axes), P(axes), P()),
+            out_specs=P(axes),
+        )
+        def shard_base(packed: ScenePacked, xf, yf, key):
+            # same per-shard key fold as shard_step, so the mask comes from
+            # the very base sample the loss recomputes in-trace
+            key = jax.random.fold_in(key, _linear_index(axes))
+            return _sample_pixels(packed, static_base, xf, yf, key)
 
     @jax.jit
     def fn(packed: ScenePacked, target, key):
@@ -197,6 +278,11 @@ def make_sharded_value_and_grad(static: SceneStatic, mesh: Mesh):
         weight = jnp.concatenate([jnp.ones(n, dtype=dt), jnp.zeros(pad, dtype=dt)])
         tflat = jax.device_put(tflat, NamedSharding(mesh, P(axes, None)))
         weight = jax.device_put(weight, sh)
-        return shard_step(packed, xs, ys, tflat, weight, key)
+        if adaptive:
+            mask = _mask_from_base(shard_base(packed, xs, ys, key), static)
+            mask = jax.lax.stop_gradient(mask)
+        else:
+            mask = jnp.zeros(xf.shape[0], dtype=bool)
+        return shard_step(packed, xs, ys, tflat, weight, mask, key)
 
     return fn

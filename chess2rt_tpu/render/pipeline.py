@@ -441,6 +441,52 @@ def _combine_stereo(left, right):
 AA_KERNEL = ((0.3, 0.3), (0.6, 0.0), (0.0, 0.6), (0.6, 0.6))
 
 
+def aa_detect(img):
+    """The reference's needs-AA detect pass (renderer.d:150-178): a pixel
+    is flagged when any member of its clamped 5-point neighbourhood
+    differs from the neighbourhood average by tooDifferent's default 0.1
+    threshold (AAThreshold is never forwarded — renderer.d:172 quirk).
+    Accumulation in f32 like the reference's Color.  [H, W, 3] -> [H, W]
+    bool, stop_gradient'ed (the mask is a discrete decision)."""
+    from ..utils.color import too_different
+
+    f32 = img.astype(jnp.float32)
+    neighs = [
+        f32,
+        jnp.concatenate([f32[:, :1], f32[:, :-1]], axis=1),  # x-1 (clamped)
+        jnp.concatenate([f32[:, 1:], f32[:, -1:]], axis=1),  # x+1
+        jnp.concatenate([f32[:1, :], f32[:-1, :]], axis=0),  # y-1
+        jnp.concatenate([f32[1:, :], f32[-1:, :]], axis=0),  # y+1
+    ]
+    avg = sum(neighs) / jnp.float32(5.0)
+    needs = jnp.zeros(img.shape[:2], bool)
+    for nb in neighs:
+        needs = needs | too_different(nb, avg)
+    return jax.lax.stop_gradient(needs)
+
+
+def _flat_pass(packed: ScenePacked, static: SceneStatic, frame, xf, yf, key):
+    """ONE render_samples pass over the flat pixel batch, honoring the
+    chunk_pixels memory knob (per-slab key split, like render_frame's
+    chunked body)."""
+    n = xf.size
+    c = static.chunk_pixels
+    if not c or c >= n:
+        return render_samples(packed, static, frame, xf, yf, key)
+    pad = (-n) % c
+    dt = xf.dtype
+    xs = jnp.concatenate([xf, jnp.zeros(pad, dtype=dt)]).reshape(-1, c)
+    ys = jnp.concatenate([yf, jnp.zeros(pad, dtype=dt)]).reshape(-1, c)
+    keys = jax.random.split(key, xs.shape[0])
+
+    def body(args):
+        cx, cy, ck = args
+        return render_samples(packed, static, frame, cx, cy, ck)
+
+    out = jax.lax.map(body, (xs, ys, keys))
+    return out.reshape(-1, 3)[:n]
+
+
 def _render_pixels(packed: ScenePacked, static: SceneStatic, frame, xf, yf, key):
     """Base sample + AA taps for one flat pixel batch."""
     key, k0 = jax.random.split(key)
@@ -502,6 +548,26 @@ def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
     xf = xs.reshape(-1)
     yf = ys.reshape(-1)
     frame = begin_frame(packed.camera, W / H)
+
+    if static.aa_enabled and static.aa_adaptive:
+        # adaptiveAA extension: pass-2 base sample, the reference's
+        # needs-AA detect (aa_detect), then the 4 kernel taps applied only
+        # where flagged.  The key splits mirror _render_pixels exactly, so
+        # flagged pixels take the very values the quirk path would compute.
+        key, k0 = jax.random.split(key)
+        base = _flat_pass(packed, static, frame, xf, yf, k0)
+        mask = aa_detect(base.reshape(H, W, 3)).reshape(-1)
+        offsets = jnp.asarray(AA_KERNEL, dtype=dt)
+
+        def aa_body(carry, off):
+            key, acc = carry
+            key, kk = jax.random.split(key)
+            s = _flat_pass(packed, static, frame, xf + off[0], yf + off[1], kk)
+            return (key, acc + s), None
+
+        (_, acc), _ = jax.lax.scan(aa_body, (key, base), offsets)
+        img = jnp.where(mask[:, None], acc / 5.0, base)
+        return img.reshape(H, W, 3)
 
     if not static.chunk_pixels or static.chunk_pixels >= W * H:
         img = _render_pixels(packed, static, frame, xf, yf, key)

@@ -220,6 +220,82 @@ class TestKernelParity:
         d = np.abs(out - ref).max(-1)
         assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
 
+    def test_adaptive_aa_fused_matches_xla(self, data_dir):
+        """adaptiveAA through the fused flagship renderer: the BLOCK-
+        compacted fast path (flagged 128-lane blocks -> ray-input kernel at
+        cap_aa width) and the forced-overflow full-width fallback must both
+        match the XLA adaptive pipeline; gradients through the compact path
+        (gather -> taps -> scatter-set) must match the XLA adaptive VJP."""
+        import dataclasses
+
+        sc = _scene(data_dir, w=64, h=48)
+        sc.settings.AAEnabled = True
+        sc.settings.adaptiveAA = True
+        m = T.Reflection(name="m", color=(0.9, 0.9, 0.9))
+        sc.shaders.append(m)
+        sc.nodes.append(
+            T.Node(name="ball", geometry=T.Sphere(name="b", center=(0, 60, 120), R=40.0), shader=m)
+        )
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert static.aa_adaptive
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer
+
+        ref = np.asarray(render_frame(packed, static, jax.random.PRNGKey(0)))
+        out = np.asarray(build_flagship_renderer(static, 64, 48, interpret=True)(packed))
+        d = np.abs(out - ref).max(-1)
+        assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
+        # overflow: cap 1 block forces the lax.cond full-width fallback
+        st_o = dataclasses.replace(static, aa_block_capacity=1)
+        out_o = np.asarray(build_flagship_renderer(st_o, 64, 48, interpret=True)(packed))
+        d_o = np.abs(out_o - ref).max(-1)
+        assert (d_o > 2e-3).sum() <= 3, ((d_o > 2e-3).sum(), d_o.max())
+
+        def loss(st):
+            r = build_flagship_renderer(st, 64, 48, interpret=True)
+            return lambda p: (r(p) ** 2).mean()
+
+        g_ref = jax.grad(lambda p: (render_frame(p, static, jax.random.PRNGKey(0)) ** 2).mean())(packed)
+        g = jax.grad(loss(static))(packed)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size == 0:
+                continue
+            assert np.isfinite(b).all()
+            np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-5)
+
+    def test_adaptive_aa_dof_and_gi_fused(self, data_dir):
+        """adaptiveAA in the MC (DoF) and GI fused renderers: same key
+        stream as the XLA pipeline, the mask only selects."""
+        import dataclasses
+
+        sc = parse_scene_from_file(str(data_dir / "zaphod.sdl"))
+        sc.settings.frameWidth, sc.settings.frameHeight = 32, 22
+        sc.camera.set_frame_size(32, 22)
+        sc.settings.AAEnabled = True
+        sc.settings.adaptiveAA = True
+        sc.camera.numSamples = 2
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert static.dof and static.aa_adaptive
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer, build_gi_renderer
+
+        key = jax.random.PRNGKey(5)
+        ref = np.asarray(render_frame(packed, static, key))
+        out = np.asarray(build_flagship_renderer(static, 32, 22, interpret=True)(packed, key))
+        d = np.abs(out - ref).max(-1)
+        assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
+
+        sc2 = _scene(data_dir, w=16, h=12)
+        sc2.settings.AAEnabled = True
+        sc2.settings.adaptiveAA = True
+        sc2.settings.GIEnabled = True
+        sc2.settings.pathsPerPixel = 4
+        packed2, st2 = pack_scene(sc2, dtype=jnp.float32)
+        st2 = dataclasses.replace(st2, gi_point_light_direct=True)
+        ref2 = np.asarray(render_frame(packed2, st2, key))
+        out2 = np.asarray(build_gi_renderer(st2, 16, 12, interpret=True)(packed2, key))
+        d2 = np.abs(out2 - ref2).max(-1)
+        assert (d2 > 2e-3).sum() <= 3, ((d2 > 2e-3).sum(), d2.max())
+
     def test_proc2_texture(self, data_dir):
         sc = parse_scene_from_file(str(data_dir / "lecture4-proc-texture.sdl"))
         sc.settings.frameWidth, sc.settings.frameHeight = 48, 32

@@ -49,6 +49,27 @@ class TestShardedRender:
         assert out.shape == (30, 50, 3)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_adaptive_aa_bit_identical_to_single_chip(self, scene, mesh):
+        """adaptiveAA sharded: base pass sharded, needs-AA detect on the
+        GLOBAL frame (halo comms by the partitioner), taps sharded with
+        mask select — deterministic scenes must match single-chip bitwise."""
+        packed, static = pack_scene(scene, dtype=jnp.float32)
+        st = dataclasses.replace(static, aa_enabled=True, aa_adaptive=True)
+        fn = make_sharded_render_fn(st, mesh)
+        img = np.asarray(fn(packed, jax.random.PRNGKey(0)))
+        # jit the single-chip reference: eager CPU execution rounds
+        # differently (no fusion/FMA), so eager-vs-jitted is NOT bitwise
+        ref = np.asarray(
+            jax.jit(lambda p, k: render_frame(p, st, k))(packed, jax.random.PRNGKey(0))
+        )
+        np.testing.assert_array_equal(img, ref)
+        # and the mask must actually bite: adaptive != quirk somewhere
+        stq = dataclasses.replace(st, aa_adaptive=False)
+        quirk = np.asarray(
+            jax.jit(lambda p, k: render_frame(p, stq, k))(packed, jax.random.PRNGKey(0))
+        )
+        assert (img != quirk).any()
+
     def test_mesh_subset(self, scene):
         # a 2-device mesh must give the same frame as the 8-device one
         packed, static = pack_scene(scene, dtype=jnp.float32)
@@ -76,6 +97,25 @@ class TestShardedGrad:
                 np.asarray(getattr(g, f)), np.asarray(getattr(g1, f)), rtol=1e-5, atol=1e-12
             )
         np.testing.assert_allclose(float(g.camera.fov), float(g1.camera.fov), rtol=1e-5)
+
+    def test_adaptive_aa_grads_match_single_device(self, scene, mesh):
+        """adaptiveAA inverse rendering sharded: the stop-gradient mask
+        comes from a sharded forward base pass; loss + grads must match
+        the single-device adaptive VJP."""
+        packed, static = pack_scene(scene, dtype=jnp.float32)
+        st = dataclasses.replace(static, aa_enabled=True, aa_adaptive=True)
+        vg = make_sharded_value_and_grad(st, mesh)
+        target = jnp.zeros((30, 50, 3))
+        key = jax.random.PRNGKey(0)
+        loss, g = vg(packed, target, key)
+        l1, g1 = jax.value_and_grad(
+            lambda p: ((render_frame(p, st, key) - target) ** 2).mean()
+        )(packed)
+        np.testing.assert_allclose(float(loss), float(l1), rtol=1e-6)
+        for f in ("light_power", "plane_y", "checker_c2", "mat_color"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g, f)), np.asarray(getattr(g1, f)), rtol=1e-5, atol=1e-12
+            )
 
     def test_grad_descent_step_reduces_loss(self, scene, mesh):
         """One SGD step on the light power against a dimmer target frame

@@ -146,6 +146,43 @@ class TestExtensions:
         # the glass ball must transmit the checker floor (non-black inside)
         assert img[14:26, 24:40].max() > 0.05
 
+    def test_adaptive_aa_oracle_semantics(self, data_dir):
+        """adaptiveAA extension (the needs-AA mask the reference computes
+        at renderer.d:150-178 and then ignores at :183-186, honored):
+        every adaptive pixel must BIT-EXACTLY equal either the base sample
+        (unflagged) or the quirk path's 5-tap average (flagged), and both
+        classes must be non-empty on lecture4."""
+        sc_base = _load(data_dir, "lecture4.sdl", w=32, h=24, aa=False)
+        base = OracleRenderer(sc_base).render()
+        sc = _load(data_dir, "lecture4.sdl", w=32, h=24, aa=True)
+        quirk = OracleRenderer(sc).render()
+        sc.settings.adaptiveAA = True
+        adaptive = OracleRenderer(sc).render()
+        eq_base = (adaptive == base).all(-1)
+        eq_quirk = (adaptive == quirk).all(-1)
+        assert (eq_base | eq_quirk).all()
+        assert eq_base.any() and (~eq_base).any()  # the mask is non-trivial
+
+    def test_adaptive_aa_device_matches_oracle_f64(self, data_dir, x64):
+        """Device adaptive AA vs the oracle, u8-exact in f64 (lecture4's
+        base images are bit-tight, so the f32 detect masks coincide)."""
+        sc = _load(data_dir, "lecture4.sdl", w=32, h=24, aa=True)
+        sc.settings.adaptiveAA = True
+        gold = OracleRenderer(sc).render()
+        img = np.asarray(render_scene_jax(sc, dtype=jnp.float64))
+        np.testing.assert_array_equal(_u8(img), _u8(gold))
+
+    def test_adaptive_aa_device_matches_oracle_lecture5(self, data_dir, x64):
+        """lecture5 (CSG + bitmaps): the oracle's epsilon-recast CSG drift
+        can flip detect decisions exactly at the 0.1 threshold, so the
+        bound is statistical like test_lecture5_csg_bitmaps_phong."""
+        sc = _load(data_dir, "lecture5.sdl", aa=True)
+        sc.settings.adaptiveAA = True
+        gold = OracleRenderer(sc).render()
+        img = np.asarray(render_scene_jax(sc, dtype=jnp.float64))
+        u8g, u8t = _u8(gold), _u8(img)
+        assert (u8g == u8t).all(axis=-1).mean() > 0.995
+
     def test_gi_runs_and_reference_quirk_yields_black(self, data_dir):
         """With the reference semantics (PointLight.solidAngle == 0 and no
         intersectable lights), a GI render is exactly black (light.d:72-75,
