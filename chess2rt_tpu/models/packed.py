@@ -146,10 +146,12 @@ class SceneStatic:
     # flagged pixels.  Detection keeps tooDifferent's default 0.1
     # threshold (the AAThreshold-never-forwarded quirk, renderer.d:172).
     aa_adaptive: bool = False
-    # fused adaptive-AA path: flagged 128-lane blocks compact into this
-    # many block slots for the 4 extra taps (None = frame_blocks // 4);
+    # fused adaptive-AA path: flagged pixels LANE-compact into this many
+    # lanes for the 4 extra taps (None = frame_pixels // 32; tap rays are
+    # pure arithmetic in the flagged index, so compaction needs no data
+    # gathers — unlike the bounce rounds, where block granularity won);
     # overflow lax.cond-falls-back to full-width taps + mask select
-    aa_block_capacity: Optional[int] = None
+    aa_capacity: Optional[int] = None
     dof: bool = False
     dof_samples: int = 25
     gi_enabled: bool = False

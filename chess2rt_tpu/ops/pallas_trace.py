@@ -1560,27 +1560,29 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         render.tap = None  # MC modes have no single deterministic tap
         return render
 
-    aa_fast = (
-        static.aa_enabled
-        and static.aa_adaptive
-        and not chunked
-        and n % BOUNCE_BLOCK == 0
-    )
+    aa_fast = static.aa_enabled and static.aa_adaptive and not chunked
     if aa_fast:
-        # adaptiveAA extension, BLOCK-compacted (the AA set is screen-local
-        # exactly like the bounce continuation set — edges cluster): flagged
-        # 128-lane blocks gather into cap_aa block slots, the 4 extra taps
-        # run the ray-input kernel + bounce finisher at cap_aa*128 width,
-        # and flagged lanes scatter back as unique block-row sets.  Overflow
-        # lax.cond-falls-back to full-width taps + mask select.
-        B = BOUNCE_BLOCK
-        nblk = n // B
-        lanes_per_tile = TILE_N // B
-        cap_aa = static.aa_block_capacity or -(-nblk // 4)
-        cap_aa = max(lanes_per_tile, -(-cap_aa // lanes_per_tile) * lanes_per_tile)
-        kern_aa = build_diff_round0(static, width, height, interpret, n_rays=cap_aa * B)
+        # adaptiveAA extension, LANE-compacted.  Unlike the bounce rounds
+        # (where lane compaction lost to block granularity because live
+        # atten/orig/dir rows had to be gathered and scattered), the AA tap
+        # set needs NO data movement to compact: the tap ray is pure
+        # arithmetic in the flagged pixel's flat index (xs = sel % W,
+        # ys = sel // W -> screen_rays), so the entire bookkeeping is ONE
+        # n-key sort (compact_indices), one [cap, 3] base-row gather and
+        # one [cap, 3] scatter-set — and the 4 extra taps + combine run at
+        # flagged-pixel width (0.93 % of the flagship frame) instead of
+        # flagged-BLOCK width (21.7 %).  Overflow lax.cond-falls-back to
+        # full-width taps + mask select.
+        # default n/32 (3.1 %) carries ~3x headroom over the flagship's
+        # 0.93 % flagged fraction (edge pixels scale with LINEAR frame
+        # size, so smaller frames flag a larger fraction); measured ladder
+        # at 1080p: cap n/16 39.1 ms, n/32 32.7 ms, 32768 lanes 28.9 ms
+        # (vs 65.7 quirk) — tighten via aa_capacity when the scene allows
+        cap_aa = static.aa_capacity or -(-n // 32)
+        cap_aa = max(TILE_N, -(-cap_aa // TILE_N) * TILE_N)
+        kern_aa = build_diff_round0(static, width, height, interpret, n_rays=cap_aa)
         finish_aa = build_bounce_finisher(
-            static, width, height, interpret, cap_aa * B, is_slab=True
+            static, width, height, interpret, cap_aa, is_slab=True
         )
         offsets4 = jnp.asarray(P.AA_KERNEL, dtype=jnp.float32)
 
@@ -1589,8 +1591,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
 
             base = render_tap(packed, jnp.zeros(2, jnp.float32))  # [n, 3]
             mask = P.aa_detect(base.reshape(height, width, 3)).reshape(-1)
-            blk_flag = mask.reshape(nblk, B).any(axis=1)
-            count = blk_flag.sum()
+            count = mask.sum()
 
             def full_path(base):
                 def body(acc, off):
@@ -1602,17 +1603,12 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             def compact_path(base):
                 frame = begin_frame(packed.camera, width / height)
                 dt = packed.node_matrix.dtype
-                sel = P.compact_indices(blk_flag, nblk, cap_aa)
-                selc = jnp.minimum(sel, nblk - 1)  # sentinel clamp
-                blk_live = jnp.arange(cap_aa) < count
-                lane_live = jnp.broadcast_to(blk_live[:, None], (cap_aa, B)).reshape(-1)
-                lin = (selc[:, None] * B + jnp.arange(B)).reshape(-1)
-                xs0 = (lin % width).astype(dt)
-                ys0 = (lin // width).astype(dt)
-                # (1, B, ...) slab gathers on free major-split views —
-                # never [cap, B*C] wide rows (relayout; see perf rule 10)
-                base_g = jnp.take(base.reshape(nblk, B, 3), selc, axis=0)
-                mask_g = jnp.take(mask.reshape(nblk, B), selc, axis=0).reshape(-1)
+                sel = P.compact_indices(mask, n, cap_aa)  # one n-key sort
+                selc = jnp.minimum(sel, n - 1)  # sentinel clamp
+                live = jnp.arange(cap_aa) < count
+                xs0 = (selc % width).astype(dt)
+                ys0 = (selc // width).astype(dt)
+                base_g = base[selc]  # [cap, 3] row gather
 
                 def tap(acc, off):
                     o3, d3 = screen_rays(
@@ -1625,19 +1621,11 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
                     )
                     return acc + finish_aa(packed, color, cont, atten, ro, rd), None
 
-                acc, _ = jax.lax.scan(tap, base_g.reshape(cap_aa * B, 3), offsets4)
-                blended = jnp.where(
-                    (mask_g & lane_live)[:, None],
-                    acc / 5.0,
-                    base_g.reshape(cap_aa * B, 3),
-                )
-                tgt = jnp.where(blk_live, sel, nblk)  # junk -> dropped sentinel
-                out = (
-                    base.reshape(nblk, B, 3)
-                    .at[tgt]
-                    .set(blended.reshape(cap_aa, B, 3), mode="drop", indices_are_sorted=True)
-                )
-                return out.reshape(n, 3)
+                acc, _ = jax.lax.scan(tap, base_g, offsets4)
+                # every compacted lane IS flagged; junk lanes keep base
+                blended = jnp.where(live[:, None], acc / 5.0, base_g)
+                tgt = jnp.where(live, sel, n)  # junk -> dropped sentinel
+                return base.at[tgt].set(blended, mode="drop", indices_are_sorted=True)
 
             img = jax.lax.cond(count <= cap_aa, compact_path, full_path, base)
             return img.reshape(height, width, 3)

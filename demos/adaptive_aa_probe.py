@@ -2,7 +2,7 @@
 
 Measures, on the bench flagship config (lecture5 + mirror, 1080p depth-5):
   1. the needs-AA mask's flagged pixel / 128-lane-block fractions (sizes
-     `aa_block_capacity`),
+     `aa_capacity`),
   2. quirk (resample-everything) vs adaptive frame time, key-jittered
      like bench.py so LICM can't hoist the scan body (CLAUDE.md).
 
@@ -27,6 +27,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="1920x1080")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--cap", type=int, default=0, help="aa_capacity override (lanes)")
+    ap.add_argument("--adaptive-only", action="store_true")
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
@@ -95,8 +97,14 @@ def main() -> None:
         print(f"{label}: {ms:.1f} ms/frame raw (compile {comp:.0f}s, checksum {v:.6e})", flush=True)
         return ms
 
+    st_a = dataclasses.replace(
+        static, aa_adaptive=True, aa_capacity=args.cap or None
+    )
+    if args.adaptive_only:
+        timed(st_a, f"adaptive AA (cap={args.cap or 'default'})")
+        return
     q = timed(static, "quirk AA (resample all)")
-    a = timed(dataclasses.replace(static, aa_adaptive=True), "adaptive AA (mask-honored)")
+    a = timed(st_a, f"adaptive AA (mask-honored, cap={args.cap or 'default'})")
     print(f"speedup {q / a:.2f}x", flush=True)
 
 

@@ -244,10 +244,19 @@ class TestKernelParity:
         out = np.asarray(build_flagship_renderer(static, 64, 48, interpret=True)(packed))
         d = np.abs(out - ref).max(-1)
         assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
-        # overflow: cap 1 block forces the lax.cond full-width fallback
-        st_o = dataclasses.replace(static, aa_block_capacity=1)
-        out_o = np.asarray(build_flagship_renderer(st_o, 64, 48, interpret=True)(packed))
-        d_o = np.abs(out_o - ref).max(-1)
+        # overflow: a fine checker flags >1894 of 3072 pixels, above the
+        # minimum (one-tile) capacity -> the lax.cond full-width fallback
+        sc_o = _scene(data_dir, w=64, h=48)
+        sc_o.settings.AAEnabled = True
+        sc_o.settings.adaptiveAA = True
+        for t in sc_o.textures:
+            if hasattr(t, "size"):
+                t.size = 1.0
+        packed_o, st_o = pack_scene(sc_o, dtype=jnp.float32)
+        st_o = dataclasses.replace(st_o, aa_capacity=1)  # rounds up to 1 tile
+        ref_o = np.asarray(render_frame(packed_o, st_o, jax.random.PRNGKey(0)))
+        out_o = np.asarray(build_flagship_renderer(st_o, 64, 48, interpret=True)(packed_o))
+        d_o = np.abs(out_o - ref_o).max(-1)
         assert (d_o > 2e-3).sum() <= 3, ((d_o > 2e-3).sum(), d_o.max())
 
         def loss(st):
