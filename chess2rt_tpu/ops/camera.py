@@ -66,9 +66,19 @@ def begin_frame(cam: CameraPacked, aspect: float):
     }
 
 
-def screen_rays(cam: CameraPacked, frame, width, height, x, y, stereo_offset=0.0, dof=False, key=None):
+def screen_rays(
+    cam: CameraPacked, frame, width, height, x, y, stereo_offset=0.0, dof=False, key=None,
+    disc_uv=None,
+):
     """getScreenRay over a batch of (possibly fractional) pixel coords
-    (camera.d:119-174).  stereo_offset in {-1, 0, +1}."""
+    (camera.d:119-174).  stereo_offset in {-1, 0, +1}.
+
+    ``disc_uv``: optional precomputed (angle_u, rad_u) uniforms for the DoF
+    disc sample, replacing the in-function draw.  Lane-compacted callers
+    use it to reproduce the full-width RNG stream exactly: threefry
+    uniforms are positional, so ``uniform(k, (n,))[sel]`` gathered outside
+    equals what full-width lanes ``sel`` would draw, while a shape-[cap]
+    draw here would not (adaptive-AA DoF compaction)."""
     fx = (x / width)[..., None]
     fy = (y / height)[..., None]
     # interpolate pos-free corners (see begin_frame): dir never touches the
@@ -93,9 +103,14 @@ def screen_rays(cam: CameraPacked, frame, width, height, x, y, stereo_offset=0.0
     cos_theta = (dir * frame["front_dir"]).sum(-1)
     M = cam.focal_plane_dist / cos_theta
     T_rel = stereo_off + dir * M[..., None]  # focal point, relative to pos
-    k1, k2 = jax.random.split(key)
-    angle = jax.random.uniform(k1, x.shape, dtype=x.dtype) * (2 * jnp.pi)
-    rad = jnp.sqrt(jax.random.uniform(k2, x.shape, dtype=x.dtype))
+    if disc_uv is None:
+        k1, k2 = jax.random.split(key)
+        angle_u = jax.random.uniform(k1, x.shape, dtype=x.dtype)
+        rad_u = jax.random.uniform(k2, x.shape, dtype=x.dtype)
+    else:
+        angle_u, rad_u = disc_uv
+    angle = angle_u * (2 * jnp.pi)
+    rad = jnp.sqrt(rad_u)
     dx = jnp.sin(angle) * rad * cam.disc_multiplier
     dy = jnp.cos(angle) * rad * cam.disc_multiplier
     orig_off = dx[..., None] * frame["right_dir"] + dy[..., None] * frame["up_dir"] + stereo_off

@@ -1498,6 +1498,25 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
                 color, cont, atten, ro, rd = combine(packed, o, dir if static.has_env else None)
                 return finish_mc(packed, color, cont, atten, ro, rd)
 
+        # adaptiveAA DoF fast path: the 4 AA taps (each a full dof_samples
+        # MC loop — 4/5 of the frame's work) lane-compact to flagged-pixel
+        # width, like the deterministic aa_fast path below.  Stereo stays
+        # full-width (combine_stereo mixes both eyes before the mask).
+        aa_mc_fast = (
+            static.aa_enabled
+            and static.aa_adaptive
+            and static.dof
+            and not static.stereo
+            and not chunked
+        )
+        if aa_mc_fast:
+            cap_mc = static.aa_capacity or -(-n // 32)
+            cap_mc = max(TILE_N, -(-cap_mc // TILE_N) * TILE_N)
+            kern_aa_mc = build_diff_round0(static, width, height, interpret, n_rays=cap_mc)
+            finish_aa_mc = build_bounce_finisher(
+                static, width, height, interpret, cap_mc, is_slab=True
+            )
+
         def render(packed: ScenePacked, key=None):
             from .camera import screen_rays
 
@@ -1539,7 +1558,74 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             # mirrors pipeline._render_pixels: base sample + 4 AA taps
             key, k0 = jax.random.split(key)
             img = samples(xf, yf, k0)
-            if static.aa_enabled:
+            if static.aa_enabled and aa_mc_fast:
+                mask = P.aa_detect(img.reshape(height, width, 3)).reshape(-1)
+                count = mask.sum()
+                offsets = jnp.asarray(P.AA_KERNEL, dtype=dt)
+
+                def full_aa(img, key):
+                    def aa_body(carry, off):
+                        key, acc = carry
+                        key, kk = jax.random.split(key)
+                        return (key, acc + samples(xf + off[0], yf + off[1], kk)), None
+
+                    (_, acc), _ = jax.lax.scan(aa_body, (key, img), offsets)
+                    return jnp.where(mask[:, None], acc / 5.0, img)
+
+                def compact_aa(img, key):
+                    sel = P.compact_indices(mask, n, cap_mc)
+                    selc = jnp.minimum(sel, n - 1)
+                    live = jnp.arange(cap_mc) < count
+                    xs0 = (selc % width).astype(dt)
+                    ys0 = (selc // width).astype(dt)
+                    base_g = img[selc]
+
+                    def trace_c(o3, d3):
+                        o = kern_aa_mc(packed, o3, d3)
+                        color, cont, atten, ro, rd = combine(
+                            packed, o, d3 if static.has_env else None
+                        )
+                        return finish_aa_mc(packed, color, cont, atten, ro, rd)
+
+                    def samples_c(xx, yy, k):
+                        # the dof MC loop with the FULL-WIDTH RNG stream:
+                        # threefry uniforms are positional, so drawing
+                        # (n,) and gathering [selc] reproduces exactly what
+                        # full-width lanes selc would draw (the in-shape
+                        # draw a [cap] batch would make is a DIFFERENT
+                        # stream) — compacted output == full-width output
+                        def body(carry, _):
+                            key, acc = carry
+                            key, kj, kj2, kr = jax.random.split(key, 4)
+                            jx = xx + jax.random.uniform(kj, (n,), dtype=dt)[selc]
+                            jy = yy + jax.random.uniform(kj2, (n,), dtype=dt)[selc]
+                            k1, k2 = jax.random.split(kr)
+                            u1 = jax.random.uniform(k1, (n,), dtype=dt)[selc]
+                            u2 = jax.random.uniform(k2, (n,), dtype=dt)[selc]
+                            o3, d3 = screen_rays(
+                                packed.camera, frame, W, H, jx, jy, 0.0,
+                                dof=True, disc_uv=(u1, u2),
+                            )
+                            return (key, acc + trace_c(o3, d3)), None
+
+                        (_, acc), _ = jax.lax.scan(
+                            body, (k, jnp.zeros((cap_mc, 3), dtype=dt)), None,
+                            length=static.dof_samples,
+                        )
+                        return acc / static.dof_samples
+
+                    def aa_body(carry, off):
+                        key, acc = carry
+                        key, kk = jax.random.split(key)
+                        return (key, acc + samples_c(xs0 + off[0], ys0 + off[1], kk)), None
+
+                    (_, acc), _ = jax.lax.scan(aa_body, (key, base_g), offsets)
+                    blended = jnp.where(live[:, None], acc / 5.0, base_g)
+                    tgt = jnp.where(live, sel, n)
+                    return img.at[tgt].set(blended, mode="drop", indices_are_sorted=True)
+
+                img = jax.lax.cond(count <= cap_mc, compact_aa, full_aa, img, key)
+            elif static.aa_enabled:
                 offsets = jnp.asarray(P.AA_KERNEL, dtype=dt)
 
                 def aa_body(carry, off):
@@ -1550,7 +1636,8 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
 
                 (_, acc), _ = jax.lax.scan(aa_body, (key, img), offsets)
                 if static.aa_adaptive:
-                    # adaptiveAA: same key stream, the mask only selects
+                    # adaptiveAA (stereo / chunked MC): same key stream,
+                    # the mask only selects — no compaction win
                     mask = P.aa_detect(img.reshape(height, width, 3)).reshape(-1)
                     img = jnp.where(mask[:, None], acc / 5.0, img)
                 else:

@@ -46,6 +46,10 @@ def main():
                          "ray-input kernel (the default: 1.93s vs 3.16s "
                          "steady-state at 1080p on v5e after the round-3 merged "
                          "texel+env fold gather; Mosaic first-compile is slower)")
+    ap.add_argument("--adaptive-aa", action="store_true",
+                    help="honor the needs-AA mask (adaptiveAA extension): the 4 "
+                         "AA taps — each a full 25-sample DoF loop — run "
+                         "lane-compacted at flagged-pixel width")
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
@@ -67,10 +71,12 @@ def main():
     sc.environment.cubemap = make_sky_cubemap()
 
     packed, static = pack_scene(sc)
-    if not args.xla and not args.cpu:
-        import dataclasses
+    import dataclasses
 
+    if not args.xla and not args.cpu:
         static = dataclasses.replace(static, use_pallas=True)
+    if args.adaptive_aa:
+        static = dataclasses.replace(static, aa_adaptive=True)
     fn = jax.jit(lambda p, k: render_frame(p, static, k))
     t0 = time.perf_counter()
     img = np.asarray(jax.block_until_ready(fn(packed, jax.random.PRNGKey(0))))

@@ -273,25 +273,46 @@ class TestKernelParity:
             np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-5)
 
     def test_adaptive_aa_dof_and_gi_fused(self, data_dir):
-        """adaptiveAA in the MC (DoF) and GI fused renderers: same key
-        stream as the XLA pipeline, the mask only selects."""
+        """adaptiveAA in the MC (DoF) and GI fused renderers.  The DoF
+        fast path LANE-compacts the 4 AA taps (each a full dof_samples MC
+        loop) and must reproduce the XLA pipeline's full-width values
+        exactly — the compacted loop draws (n,)-shaped threefry uniforms
+        and gathers them, because threefry is positional and a [cap]-shaped
+        draw would be a different stream.  A near-pinhole lecture4 DoF
+        config flags 1882/3072 pixels: above the one-tile minimum capacity
+        (exercising the overflow full-width fallback at the default cap)
+        and below aa_capacity=2048 (exercising the compact path)."""
         import dataclasses
 
-        sc = parse_scene_from_file(str(data_dir / "zaphod.sdl"))
-        sc.settings.frameWidth, sc.settings.frameHeight = 32, 22
-        sc.camera.set_frame_size(32, 22)
+        sc = _scene(data_dir, w=64, h=48)
         sc.settings.AAEnabled = True
         sc.settings.adaptiveAA = True
+        sc.camera.dof = True
         sc.camera.numSamples = 2
+        sc.camera.fNumber = 500.0
+        sc.camera.discMultiplier = 10.0 / 500.0
         packed, static = pack_scene(sc, dtype=jnp.float32)
         assert static.dof and static.aa_adaptive
+        from chess2rt_tpu.render.pipeline import aa_detect
         from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer, build_gi_renderer
 
         key = jax.random.PRNGKey(5)
+        base = np.asarray(
+            render_frame(packed, dataclasses.replace(static, aa_enabled=False), key)
+        )
+        flagged = int(np.asarray(aa_detect(jnp.asarray(base))).sum())
+        assert 1024 < flagged <= 2048, flagged  # the premise of both cases
         ref = np.asarray(render_frame(packed, static, key))
-        out = np.asarray(build_flagship_renderer(static, 32, 22, interpret=True)(packed, key))
+        # compact path: cap 2048 >= flagged
+        st_c = dataclasses.replace(static, aa_capacity=2048)
+        out = np.asarray(build_flagship_renderer(st_c, 64, 48, interpret=True)(packed, key))
         d = np.abs(out - ref).max(-1)
         assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
+        # overflow: default cap rounds to one tile (1024) < flagged ->
+        # the lax.cond full-width fallback must carry the frame
+        out_o = np.asarray(build_flagship_renderer(static, 64, 48, interpret=True)(packed, key))
+        d_o = np.abs(out_o - ref).max(-1)
+        assert (d_o > 2e-3).sum() <= 3, ((d_o > 2e-3).sum(), d_o.max())
 
         sc2 = _scene(data_dir, w=16, h=12)
         sc2.settings.AAEnabled = True
