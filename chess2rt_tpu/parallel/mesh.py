@@ -168,7 +168,7 @@ def make_sharded_render_fn(static: SceneStatic, mesh: Mesh):
     @jax.jit
     def fn(packed: ScenePacked, key):
         dt = packed.node_matrix.dtype
-        xf, yf, n = _pixel_coords(static, n_shards, np.float64)
+        xf, yf, _ = _pixel_coords(static, n_shards, np.float64)
         xs = jax.device_put(jnp.asarray(xf, dtype=dt), NamedSharding(mesh, P(axes)))
         ys = jax.device_put(jnp.asarray(yf, dtype=dt), NamedSharding(mesh, P(axes)))
         if adaptive:

@@ -552,8 +552,11 @@ def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
     if static.aa_enabled and static.aa_adaptive:
         # adaptiveAA extension: pass-2 base sample, the reference's
         # needs-AA detect (aa_detect), then the 4 kernel taps applied only
-        # where flagged.  The key splits mirror _render_pixels exactly, so
-        # flagged pixels take the very values the quirk path would compute.
+        # where flagged.  UN-chunked, the key splits mirror _render_pixels
+        # exactly, so flagged pixels take the very values the quirk path
+        # would compute; chunked MC scenes draw a different (equally valid)
+        # stream — the quirk path splits per slab inside each chunk, while
+        # _flat_pass splits the tap key per slab.
         key, k0 = jax.random.split(key)
         base = _flat_pass(packed, static, frame, xf, yf, k0)
         mask = aa_detect(base.reshape(H, W, 3)).reshape(-1)

@@ -64,7 +64,7 @@ def main() -> None:
     print(
         f"flagged pixels {s[0]}/{n} ({100.0 * s[0] / n:.2f}%)  "
         f"flagged blocks {s[1]}/{nblk} ({100.0 * s[1] / nblk:.2f}%)  "
-        f"default cap nblk//4 = {-(-nblk // 4)}",
+        f"default aa_capacity n//32 = {-(-n // 32)} lanes",
         flush=True,
     )
 

@@ -56,6 +56,28 @@ def test_lecture4_sdl(data_dir):
     assert node.geometry is geo and node.shader is sh and node.bumpmap is None
 
 
+def test_adaptive_aa_settings_key(tmp_path, data_dir):
+    """The adaptiveAA extension key parses from scene files and lands in
+    SceneStatic/oracle; absent -> quirk default (resample everything)."""
+    import jax.numpy as jnp
+
+    from chess2rt_tpu.models.packed import pack_scene
+    from chess2rt_tpu.oracle.renderer import OracleRenderer
+
+    s = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
+    assert s.settings.adaptiveAA is False
+    src = (data_dir / "lecture4.sdl").read_text()
+    variant = tmp_path / "lecture4_adaptive.sdl"
+    variant.write_text(
+        src.replace("GlobalSettings {", "GlobalSettings {\n        adaptiveAA true")
+    )
+    s2 = parse_scene_from_file(str(variant))
+    assert s2.settings.adaptiveAA is True
+    _, static = pack_scene(s2, dtype=jnp.float32)
+    assert static.aa_adaptive
+    assert OracleRenderer(s2).aa_adaptive
+
+
 def test_lecture4_json_equivalent(data_dir):
     sdl = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
     js = parse_scene_from_file(str(data_dir / "lecture4.json"))

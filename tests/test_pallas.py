@@ -221,11 +221,12 @@ class TestKernelParity:
         assert (d > 2e-3).sum() <= 3, ((d > 2e-3).sum(), d.max())
 
     def test_adaptive_aa_fused_matches_xla(self, data_dir):
-        """adaptiveAA through the fused flagship renderer: the BLOCK-
-        compacted fast path (flagged 128-lane blocks -> ray-input kernel at
-        cap_aa width) and the forced-overflow full-width fallback must both
-        match the XLA adaptive pipeline; gradients through the compact path
-        (gather -> taps -> scatter-set) must match the XLA adaptive VJP."""
+        """adaptiveAA through the fused flagship renderer: the LANE-
+        compacted fast path (flagged pixels -> ray-input kernel at cap_aa
+        width; tap rays are arithmetic in the pixel index) and the
+        forced-overflow full-width fallback must both match the XLA
+        adaptive pipeline; gradients through the compact path (gather ->
+        taps -> scatter-set) must match the XLA adaptive VJP."""
         import dataclasses
 
         sc = _scene(data_dir, w=64, h=48)
