@@ -133,6 +133,16 @@ class InteractiveSession:
             return self.render(preview=preview)
         if key == "f12":
             return self.screenshot()
+        if key == "f2":
+            # EXTENSION key (not in the reference table): toggle adaptiveAA
+            # — the full-quality render resamples only needs-AA pixels
+            # (2x the flagship full frame; the coarse preview is AA-off
+            # either way)
+            self.scene.settings.adaptiveAA = not getattr(
+                self.scene.settings, "adaptiveAA", False
+            )
+            self._fns.clear()  # static changed -> recompile
+            return self.render(preview=preview)
         move = CONTROLS.get((key, modifier)) or CONTROLS.get((key, None))
         if move is None:
             return None

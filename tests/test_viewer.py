@@ -91,6 +91,18 @@ class TestResize:
         s.scene.settings.AAEnabled = False
         return s
 
+    def test_f2_toggles_adaptive_aa(self, data_dir):
+        """EXTENSION key F2 flips adaptiveAA and re-renders (the jit cache
+        is invalidated — static changed)."""
+        s = self._session(data_dir)
+        s.scene.settings.AAEnabled = True
+        assert not getattr(s.scene.settings, "adaptiveAA", False)
+        frame = s.handle_key("f2")
+        assert s.scene.settings.adaptiveAA is True
+        assert frame is not None and np.isfinite(frame).all()
+        s.handle_key("f2")
+        assert s.scene.settings.adaptiveAA is False
+
     def test_disabled_without_allow_resize(self, data_dir):
         s = self._session(data_dir)
         s.scene.settings.allowResize = False
