@@ -170,6 +170,15 @@ def main_check():
     rel_checksum = abs(img_p.sum() - img_x.sum()) / max(abs(img_x.sum()), 1e-9)
     close = float(np.mean(np.abs(img_p - img_x) <= 2e-3 + 2e-3 * np.abs(img_x)))
 
+    # adaptiveAA gate: the lane-compacted fused adaptive program (sort +
+    # base gather + cap-width taps + scatter-set) must match the XLA
+    # adaptive pipeline on real Mosaic, not just in interpret-mode tests
+    static_pa = dataclasses.replace(static_p, aa_enabled=True, aa_adaptive=True)
+    static_xa = dataclasses.replace(static_x, aa_enabled=True, aa_adaptive=True)
+    img_pa = np.asarray(jax.jit(lambda p: render_frame(p, static_pa, key))(packed))
+    img_xa = np.asarray(jax.jit(lambda p: render_frame(p, static_xa, key))(packed))
+    adaptive_close = float(np.mean(np.abs(img_pa - img_xa) <= 2e-3 + 2e-3 * np.abs(img_xa)))
+
     # oracle anchor: the TPU f32 XLA frame must match the float64 numpy
     # ground truth to the same u8 tolerance the CPU tests pin.  This is
     # what catches whole-path numeric regressions the kernel-vs-XLA
@@ -205,6 +214,7 @@ def main_check():
     ok = (
         (rel_checksum < 5e-4)
         and (close > 0.99)
+        and (adaptive_close > 0.99)
         and grad_finite
         and grad_nonzero
         and (oracle_within1 > 0.99)
@@ -217,6 +227,7 @@ def main_check():
                 "unit": "rel_checksum_delta",
                 "vs_baseline": None,
                 "pixels_close": round(close, 5),
+                "adaptive_close": round(adaptive_close, 5),
                 "oracle_within1": round(oracle_within1, 5),
                 "grad_finite": grad_finite,
                 "grad_nonzero": grad_nonzero,
