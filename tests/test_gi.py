@@ -184,6 +184,40 @@ class TestGiNeeExtension:
             nonzero += np.abs(a).sum() > 0
         assert nonzero >= 10  # lights, colors, geometry params all carry signal
 
+    def test_gi_gradients_match_fd(self, data_dir):
+        """Finite-difference ground truth for the path-traced pipeline
+        (BASELINE: 'gradients verified against finite differences', here
+        extended to GI).  With a FIXED key the MC render is a smooth
+        deterministic function of the continuous parameters (the RNG draws
+        are parameter-independent), so in f64 the analytic gradient of an
+        albedo scale and of light power must match central differences to
+        fp accuracy — the FD anchor the fused-vs-XLA consistency test
+        above chains from.  Differentiated math: the Lambert BRDF eval +
+        NEE term (reference shader.d:108-135, light.d:72-75)."""
+        jax.config.update("jax_enable_x64", True)
+        try:
+            sc = _scene(data_dir, w=10, h=8, paths=3)
+            packed, static = pack_scene(sc, dtype=jnp.float64)
+            static = dataclasses.replace(static, gi_point_light_direct=True)
+            key = jax.random.PRNGKey(3)
+
+            def loss_albedo(s):
+                p = dataclasses.replace(packed, mat_color=packed.mat_color * s)
+                return (render_frame(p, static, key) ** 2).mean()
+
+            def loss_power(s):
+                p = dataclasses.replace(packed, light_power=packed.light_power * s)
+                return (render_frame(p, static, key) ** 2).mean()
+
+            for loss in (loss_albedo, loss_power):
+                g = float(jax.grad(loss)(jnp.float64(1.0)))
+                h = 1e-5
+                fd = (float(loss(jnp.float64(1.0 + h))) - float(loss(jnp.float64(1.0 - h)))) / (2 * h)
+                assert g != 0.0
+                np.testing.assert_allclose(g, fd, rtol=1e-6)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
     def test_gi_chunk_pixels_falls_back_to_chunked_xla(self, data_dir):
         """The fused GI renderer is whole-frame; with chunk_pixels below
         the frame size render_frame must take the memory-bounded XLA
