@@ -239,6 +239,67 @@ def main_check():
         sys.exit(1)
 
 
+def main_sharded():
+    """The SHARDED fused renderer on a 1-device TPU mesh (round-3 VERDICT
+    item 1 done-criterion: the mesh path must carry the fused frame rate,
+    within ~10% of the single-chip flagship).  Same flagship config and
+    key-jittered amortization as main().
+
+    Prints one JSON line: {"metric": "sharded_frame_ms", ...}."""
+    import dataclasses
+
+    from chess2rt_tpu.parallel import make_mesh, make_sharded_render_fn
+
+    packed, static = build()
+    static = dataclasses.replace(
+        static,
+        use_pallas=True,
+        fast_forward=True,
+        bounce_capacity=2073600 // 16,
+        bounce_mode="block",
+    )
+    mesh = make_mesh(jax.devices()[:1])
+    render = make_sharded_render_fn(static, mesh)
+
+    FRAMES_PER_CALL = 4
+
+    def many(p, keys):
+        def body(acc, k):
+            # key-jittered camera: see main() — LICM would hoist a
+            # loop-invariant body and inflate the amortized number
+            jit_pos = (jax.random.uniform(k, (3,), jnp.float32) - 0.5) * 1e-4
+            p2 = dataclasses.replace(
+                p, camera=dataclasses.replace(p.camera, pos=p.camera.pos + jit_pos)
+            )
+            return acc + render(p2, k).sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+        return acc
+
+    fn = jax.jit(many)
+    key = jax.random.PRNGKey(0)
+    checksum = float(fn(packed, jax.random.split(key, FRAMES_PER_CALL)))
+    assert np.isfinite(checksum) and checksum > 0, checksum
+
+    times = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        float(fn(packed, jax.random.split(jax.random.fold_in(key, i), FRAMES_PER_CALL)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / FRAMES_PER_CALL
+    print(
+        json.dumps(
+            {
+                "metric": "sharded_frame_ms",
+                "value": round(dt * 1000, 2),
+                "unit": "ms/frame (1-device mesh, fused)",
+                "vs_baseline": None,
+            }
+        )
+    )
+    print(f"# sharded fused flagship {WIDTH}x{HEIGHT}: {dt*1000:.1f} ms/frame", file=sys.stderr)
+
+
 def main():
     import dataclasses
 
@@ -395,6 +456,8 @@ def main_verify_counts():
 if __name__ == "__main__":
     if "--grad" in sys.argv:
         main_grad()
+    elif "--sharded" in sys.argv:
+        main_sharded()
     elif "--check" in sys.argv:
         main_check()
     elif "--verify-counts" in sys.argv:

@@ -165,11 +165,10 @@ class SceneStatic:
     fast_forward: bool = False
     # bound peak device memory: render the pixel batch in lax.map slabs of
     # this many rays (None = whole frame at once); honored by the XLA
-    # pipeline (render_frame) and the fused Pallas renderer in both the
-    # deterministic and the DoF/stereo MC paths (slabs through the
-    # ray-input kernel — an un-chunked 8K frame OOMs a 16 GB v5e).  The
-    # fused GI renderer is whole-frame; with the knob set below the frame
-    # size, GI scenes fall back to the chunked XLA pipeline (memory wins)
+    # pipeline (render_frame), by the fused Pallas renderer in the
+    # deterministic, DoF/stereo MC and GI paths (slabs through slab-width
+    # kernels — an un-chunked 8K frame OOMs a 16 GB v5e), and PER SHARD
+    # under the mesh (parallel/mesh.py)
     chunk_pixels: Optional[int] = None
     # wavefront compaction (fast_forward only): bounce rounds 1+ run on a
     # compacted ray buffer of this many lanes when the live set fits

@@ -413,6 +413,19 @@ def _gen_rays(packed, width, height, aa):
     return screen_rays(packed.camera, frame, float(width), float(height), xs, ys, 0.0)
 
 
+def _gen_rays_lin(packed, width, height, aa, lin_base, n):
+    """_gen_rays for the contiguous pixel slice [lin_base, lin_base + n) —
+    the XLA twin of the kernel's lin_input ray-gen (mesh shards / chunk
+    slabs).  ``lin_base`` is a traced f32 scalar (exact integer)."""
+    frame = begin_frame(packed.camera, width / height)
+    dt = packed.camera.pos.dtype
+    base = jax.lax.stop_gradient(jnp.asarray(lin_base)).astype(jnp.int32)
+    lin = base + jnp.arange(n)
+    xs = (lin % width).astype(dt) + aa[0]
+    ys = (lin // width).astype(dt) + aa[1]
+    return screen_rays(packed.camera, frame, float(width), float(height), xs, ys, 0.0)
+
+
 # --------------------------------------------------------------------------
 # Custom-VJP builders (drop-in for build_round0_kernel's run functions)
 # --------------------------------------------------------------------------
@@ -426,6 +439,7 @@ def build_diff_round0(
     n_rays: int = None,
     want_hit: bool = False,
     pin_mode: str = "leaf",
+    lin_input: bool = False,
 ):
     """A differentiable drop-in for ``build_round0_kernel``:
 
@@ -442,11 +456,18 @@ def build_diff_round0(
     ``pin_mode``: "leaf" (default) saves the winning t/normal as extra
     kernel residuals and reconstructs the winning record from closed-form
     leaf solutions in the backward; "node" re-scans every node's full
-    intersection (the round-2 behavior, kept for A/B tests)."""
-    ray_input = n_rays is not None
+    intersection (the round-2 behavior, kept for A/B tests).
+
+    ``lin_input`` (requires ``n_rays``): in-kernel ray-gen for the
+    contiguous pixel slice [lin_base, lin_base + n_rays) — the mesh-shard
+    / chunk-slab form ``fn(packed, lin_base, aa_offset)``.  Camera
+    cotangents flow through the _gen_rays_lin XLA twin, exactly like the
+    screen-tap form."""
+    ray_input = n_rays is not None and not lin_input
     leaf_pins = pin_mode == "leaf" and len(leaf_table(static)[0]) > 0
     kern_plain = build_round0_kernel(
-        static, width, height, interpret, n_rays=n_rays, want_hit=want_hit
+        static, width, height, interpret, n_rays=n_rays, want_hit=want_hit,
+        lin_input=lin_input,
     )
     kern_resid = build_round0_kernel(
         static,
@@ -456,6 +477,7 @@ def build_diff_round0(
         n_rays=n_rays,
         want_hit=want_hit or leaf_pins,
         want_vis=True,
+        lin_input=lin_input,
     )
 
     # the primal output keys of kern_plain (build_round0_kernel's name
@@ -520,6 +542,40 @@ def build_diff_round0(
 
         def run(packed, orig, dir, aa_offset=(0.0, 0.0)):
             return f(packed, orig, dir)
+
+        return run
+
+    if lin_input:
+
+        @jax.custom_vjp
+        def f(packed, lin_base, aa):
+            return kern_plain(packed, lin_base, aa)
+
+        def f_fwd(packed, lin_base, aa):
+            basic, vis, t_pin, n_pin = _split(kern_resid(packed, lin_base, aa))
+            return basic, (packed, lin_base, aa, basic["win"], vis, t_pin, n_pin)
+
+        def f_bwd(res, g):
+            packed, lin_base, aa, win, vis, t_pin, n_pin = res
+            sg = jax.lax.stop_gradient
+            so, sd = _gen_rays_lin(sg(packed), width, height, sg(aa), lin_base, n_rays)
+            rp = _pins(packed, so, sd, win, t_pin, n_pin)
+
+            def rf(p, a):
+                orig, dir = _gen_rays_lin(p, width, height, a, lin_base, n_rays)
+                return reshade(p, static, orig, dir, win, vis, want_hit=want_hit, rec_pins=rp)
+
+            gp, ga = _vjp_through(g, rf, packed, aa)
+            return gp, jnp.zeros((), jnp.float32), ga
+
+        f.defvjp(f_fwd, f_bwd)
+
+        def run(packed, lin_base, aa_offset=(0.0, 0.0)):
+            return f(
+                packed,
+                jnp.asarray(lin_base, jnp.float32).reshape(()),
+                jnp.asarray(aa_offset, jnp.float32).reshape(2),
+            )
 
         return run
 

@@ -208,6 +208,13 @@ def _make_packer(static: SceneStatic, width: int, height: int):
     )
     slot("ambient", 3, lambda p, f, a: p.ambient)
     slot("aa", 2, lambda p, f, a: jnp.asarray(a, dtype=jnp.float32).reshape(2))
+    # base linear pixel index of lane 0 (pack() special-cases it): the
+    # in-kernel ray-gen computes lin = lin_base + pid*TILE_N + lane, so a
+    # mesh shard / chunk slab owning pixels [b, b+n) traces BIT-IDENTICAL
+    # rays to the full-frame kernel's lanes [b, b+n).  Shipped as f32
+    # (exact: bases are TILE/block multiples, so f32 holds them exactly
+    # even past 2^24) and converted to s32 in-kernel.
+    slot("lin", 1, None)
     for li in range(static.n_lights):
         slot(
             f"light{li}",
@@ -297,9 +304,14 @@ def _make_packer(static: SceneStatic, width: int, height: int):
 
     n_prm = sum(e[1] for e in entries)
 
-    def pack(packed: ScenePacked, aa_offset=(0.0, 0.0)):
+    def pack(packed: ScenePacked, aa_offset=(0.0, 0.0), lin_base=0):
         frame = begin_frame(packed.camera, width / height)
-        parts = [g(packed, frame, aa_offset) for _, _, g in entries]
+        parts = []
+        for name, _, g in entries:
+            if name == "lin":
+                parts.append(jnp.asarray(lin_base, jnp.float32).reshape(1))
+            else:
+                parts.append(g(packed, frame, aa_offset))
         return jnp.concatenate([x.reshape(-1).astype(jnp.float32) for x in parts])
 
     return pack, off, expr_tables, n_prm
@@ -616,7 +628,10 @@ def _kernel_raygen(p, off, width, height):
     """In-kernel camera ray generation (camera.d:119-147) on the pos-free
     corner deltas shipped by _make_packer.  Returns SoA (ox..oz, dx..dz)."""
     pid = pl.program_id(0)
-    base = pid * TILE_N
+    # lin slot = base linear pixel index of lane 0 (0 for full-frame; a
+    # shard/slab offset under the mesh / chunk_pixels) — f32-exact, see
+    # _make_packer.  Adding the s32 zero is bitwise-free for full frames.
+    base = p(off["lin"]).astype(jnp.int32) + pid * TILE_N
     lin = (
         base
         + jax.lax.broadcasted_iota(jnp.int32, TILE, 0) * TILE[1]
@@ -744,6 +759,7 @@ def build_round0_kernel(
     n_rays: int = None,
     want_hit: bool = False,
     want_vis: bool = False,
+    lin_input: bool = False,
 ):
     """Returns fn(packed, aa_offset) -> dict of flat [N] arrays:
     color [N], win [N] (int32, -1 = miss), and — when the scene needs
@@ -769,10 +785,17 @@ def build_round0_kernel(
     bit.  Together with win/t/normal these are exactly the discrete
     residuals the custom-VJP backward (ops/pallas_grad.py) needs to
     reconstruct the kernel's math differentiably without re-running any
-    scene scan."""
+    scene scan.
+
+    ``lin_input`` (requires ``n_rays``): the kernel ray-gens IN-KERNEL for
+    the contiguous pixel slice [lin_base, lin_base + n_rays) —
+    fn(packed, lin_base, aa_offset) with a traced scalar base.  Per-lane
+    math is bit-identical to the full-frame kernel's lanes at the same
+    linear index: the mesh-shard / chunk-slab ray-gen mode."""
     assert _supports_scene(static)
-    ray_input = n_rays is not None
-    n = n_rays if ray_input else width * height
+    assert not (lin_input and n_rays is None), "lin_input needs n_rays"
+    ray_input = n_rays is not None and not lin_input
+    n = n_rays if n_rays is not None else width * height
     n_pad = -(-n // TILE_N) * TILE_N
     grid = (n_pad // TILE_N,)
 
@@ -1055,6 +1078,20 @@ def build_round0_kernel(
                 out_shape=out_shape,
                 interpret=interpret,
             )(prm, *rays)
+            return {k: o.reshape(-1)[:n] for k, o in zip(names, outs)}
+
+    elif lin_input:
+
+        def run(packed: ScenePacked, lin_base, aa_offset=(0.0, 0.0)):
+            prm = pack(packed, aa_offset, lin_base)
+            outs = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(prm)
             return {k: o.reshape(-1)[:n] for k, o in zip(names, outs)}
 
     else:
@@ -1751,10 +1788,189 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
     return render
 
 
+def _lin_dirs(packed, width, height, lin_base, n, aa_offset):
+    """Miss-ray directions (env term) for the contiguous pixel slice
+    [lin_base, lin_base + n), recomputed XLA-side — the lin twin of
+    build_flagship_renderer._tap_dirs."""
+    from .camera import screen_rays
+
+    frame = begin_frame(packed.camera, width / height)
+    dt = packed.node_matrix.dtype
+    off = jnp.asarray(aa_offset, dtype=dt).reshape(2)
+    base = jax.lax.stop_gradient(jnp.asarray(lin_base)).astype(jnp.int32)
+    lin = base + jnp.arange(n)
+    xs = (lin % width).astype(dt) + off[0]
+    ys = (lin // width).astype(dt) + off[1]
+    _, dirs = screen_rays(packed.camera, frame, float(width), float(height), xs, ys, 0.0)
+    return dirs
+
+
+def build_rows_renderer(static: SceneStatic, width: int, height: int,
+                        interpret: bool, n_lanes: int):
+    """Fused flagship renderer for ONE contiguous slice of the flat pixel
+    grid — the per-shard body of the distributed renderer (parallel/mesh.py;
+    round-3 VERDICT item 1: the fused path must be the one that scales out,
+    matching the reference where the bucket parallelism drives THE renderer,
+    renderer.d:133-136).
+
+    Returns ``rows(packed, lin_base, mask=None, base=None) -> [n_lanes, 3]``
+    rendering pixels [lin_base, lin_base + n_lanes).  Ray-gen happens
+    in-kernel from the lin slot, so per-lane math is bit-identical to the
+    single-chip flagship kernel's lanes at the same linear pixel index.
+    ``rows.tap(packed, lin_base, aa_offset)`` is the single-tap entry (the
+    sharded adaptiveAA base pass).
+
+    * quirk AA (aa_adaptive=False): every pixel averages the 5 kernel taps;
+    * adaptiveAA: the caller computes the needs-AA mask on the GLOBAL frame
+      (cross-shard neighbour reads) and passes this slice's ``mask``; taps
+      lane-compact within the shard exactly like the single-chip aa_fast
+      path (``base=None`` re-renders the base tap IN-trace so unflagged
+      pixels keep their gradient path — grad callers rely on this);
+    * chunk_pixels is honored per slice (lax.map slabs through the
+      lin-input kernel — the 8K-under-the-mesh memory bound, VERDICT r3
+      item 2; adaptive taps then run full-width like the single-chip
+      chunked path).
+
+    Deterministic Whitted scenes only (supports(static), no DoF/stereo/GI
+    — the mesh layer keeps the XLA pipeline for MC modes)."""
+    from ..render import pipeline as P
+    from .pallas_grad import build_diff_round0
+
+    assert supports(static) and not (static.dof or static.stereo)
+    n = n_lanes
+    is_slab = n < width * height
+    chunked = bool(static.chunk_pixels and static.chunk_pixels < n)
+
+    def combine(packed, o, dirs_or_none):
+        return combine_outputs(packed, static, o, dirs_or_none)
+
+    if not chunked:
+        kern = build_diff_round0(static, width, height, interpret, n_rays=n, lin_input=True)
+        finish = build_bounce_finisher(static, width, height, interpret, n, is_slab=is_slab)
+
+        def render_tap(packed, lin_base, aa_offset):
+            o = kern(packed, lin_base, aa_offset)
+            dirs = (
+                _lin_dirs(packed, width, height, lin_base, n, aa_offset)
+                if static.has_env
+                else None
+            )
+            color, cont, atten, ro, rd = combine(packed, o, dirs)
+            return finish(packed, color, cont, atten, ro, rd)
+
+    else:
+        C = -(-static.chunk_pixels // TILE_N) * TILE_N
+        S = -(-n // C)
+        n_pad = S * C
+        kern_slab = build_diff_round0(static, width, height, interpret, n_rays=C, lin_input=True)
+        finish_slab = build_bounce_finisher(static, width, height, interpret, C, is_slab=True)
+
+        def render_tap(packed, lin_base, aa_offset):
+            base_i = jnp.asarray(lin_base).astype(jnp.int32)
+            # slab bases stay exact in f32: multiples of TILE_N
+            bases = (base_i + C * jnp.arange(S)).astype(jnp.float32)
+
+            def slab(b):
+                o = kern_slab(packed, b, aa_offset)
+                dirs = (
+                    _lin_dirs(packed, width, height, b, C, aa_offset)
+                    if static.has_env
+                    else None
+                )
+                color, cont, atten, ro, rd = combine(packed, o, dirs)
+                return finish_slab(packed, color, cont, atten, ro, rd)
+
+            img = jax.lax.map(slab, bases)
+            return img.reshape(n_pad, 3)[:n]
+
+    offsets4 = jnp.asarray(P.AA_KERNEL, dtype=jnp.float32)
+    zero2 = jnp.zeros(2, jnp.float32)
+
+    aa_compact = static.aa_enabled and static.aa_adaptive and not chunked
+    if aa_compact:
+        # per-slice share of the frame-level aa_capacity knob (default
+        # n/32, same flagged-fraction headroom as the single-chip path)
+        if static.aa_capacity:
+            cap_aa = -(-static.aa_capacity * n // (width * height))
+        else:
+            cap_aa = -(-n // 32)
+        cap_aa = max(TILE_N, -(-cap_aa // TILE_N) * TILE_N)
+        kern_aa = build_diff_round0(static, width, height, interpret, n_rays=cap_aa)
+        finish_aa = build_bounce_finisher(static, width, height, interpret, cap_aa, is_slab=True)
+
+    def rows(packed: ScenePacked, lin_base, mask=None, base=None):
+        lb = jnp.asarray(lin_base, jnp.float32).reshape(())
+        if not static.aa_enabled:
+            return render_tap(packed, lb, zero2)
+        if not static.aa_adaptive:
+            # reference quirk semantics: every pixel = avg of the 5 taps
+            offsets = jnp.concatenate([jnp.zeros((1, 2), jnp.float32), offsets4])
+
+            def body(acc, off):
+                return acc + render_tap(packed, lb, off), None
+
+            img, _ = jax.lax.scan(body, jnp.zeros((n, 3), jnp.float32), offsets)
+            return img / 5.0
+
+        assert mask is not None, "adaptiveAA rows need the global-frame mask slice"
+        if base is None:
+            base = render_tap(packed, lb, zero2)
+
+        def full_taps(base):
+            def body(acc, off):
+                return acc + render_tap(packed, lb, off), None
+
+            acc, _ = jax.lax.scan(body, base, offsets4)
+            return jnp.where(mask[:, None], acc / 5.0, base)
+
+        if not aa_compact:
+            return full_taps(base)
+
+        count = mask.sum()
+
+        def compact_taps(base):
+            from .camera import screen_rays
+
+            frame = begin_frame(packed.camera, width / height)
+            dt = packed.node_matrix.dtype
+            sel = P.compact_indices(mask, n, cap_aa)  # shard-local sort
+            selc = jnp.minimum(sel, n - 1)
+            live = jnp.arange(cap_aa) < count
+            # GLOBAL pixel index of each flagged lane -> same screen_rays
+            # floats as the single-chip aa_fast path (bit-identity)
+            glin = lb.astype(jnp.int32) + selc
+            xs0 = (glin % width).astype(dt)
+            ys0 = (glin // width).astype(dt)
+            base_g = base[selc]
+
+            def tap(acc, off):
+                o3, d3 = screen_rays(
+                    packed.camera, frame, float(width), float(height),
+                    xs0 + off[0], ys0 + off[1], 0.0,
+                )
+                o = kern_aa(packed, o3, d3)
+                color, cont, atten, ro, rd = combine(
+                    packed, o, d3 if static.has_env else None
+                )
+                return acc + finish_aa(packed, color, cont, atten, ro, rd), None
+
+            acc, _ = jax.lax.scan(tap, base_g, offsets4)
+            blended = jnp.where(live[:, None], acc / 5.0, base_g)
+            tgt = jnp.where(live, sel, n)
+            return base.at[tgt].set(blended, mode="drop", indices_are_sorted=True)
+
+        return jax.lax.cond(count <= cap_aa, compact_taps, full_taps, base)
+
+    rows.tap = render_tap
+    return rows
+
+
 def supports_gi(static: SceneStatic) -> bool:
-    """GI through the want_hit kernel: all-Lambert scenes (trace_path
-    raises otherwise — Phong GI asserts in the reference, shader.d:252-261)
-    with kernel-supported geometry, no DoF (DoF dispatches first)."""
+    """GI through the want_hit kernel: all-Lambert scenes with
+    kernel-supported geometry, no DoF (DoF dispatches first).  Scenes with
+    Phong nodes take the XLA trace_path, which paints the reference's
+    bogus-BRDF red marker on paths that hit one (shader.d:252-261 asserts;
+    renderer.d:457 marker)."""
     if not static.gi_enabled or static.dof:
         return False
     if not static.nodes:
@@ -1769,12 +1985,28 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
     op for op (same jax.random stream, so outputs match the XLA path to
     kernel-vs-XLA fp).
 
+    With static.chunk_pixels set below the frame size, the pixel batch
+    runs in lax.map slabs through a slab-width kernel, mirroring
+    render_frame's chunked XLA structure (incl. its per-slab key splits) —
+    memory-bounded GI frames keep the fused path instead of falling back
+    to the ~2x slower XLA pipeline (round-3 VERDICT item 5).
+
     Returns fn(packed, key) -> [H, W, 3]."""
     assert supports_gi(static)
     from ..render import pipeline as P
     from . import shade as S
 
     n = width * height
+    chunked = bool(static.chunk_pixels and static.chunk_pixels < n)
+    if chunked:
+        # slab width = chunk_pixels EXACTLY (not kernel-tile rounded like
+        # the deterministic paths): MC RNG draws are slab-shaped, so the
+        # slab boundaries must match the chunked XLA pipeline's for the
+        # streams to agree.  The kernel pads its own lanes to TILE_N.
+        C = static.chunk_pixels
+        S_slabs = -(-n // C)
+    else:
+        C, S_slabs = n, 1
     # PATH BATCHING (round 3, measured a LOSS — default K=1): evaluating
     # K paths per launch (lanes = K*n) with exactly-unrolled per-path RNG
     # chains cuts launch count K-fold, but K=8 ran 77.4 vs 57.7 ms
@@ -1792,7 +2024,7 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
     # diff wrapper makes GI fitting work through the fused path too
     from .pallas_grad import build_diff_round0
 
-    kernR = build_diff_round0(static, width, height, interpret, n_rays=K * n, want_hit=True)
+    kernR = build_diff_round0(static, width, height, interpret, n_rays=K * C, want_hit=True)
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
 
     def hit_of(packed, o):
@@ -1812,7 +2044,7 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
     def trace_path_pallas(packed, orig, dir, keys):
         """Mirrors pipeline.trace_path's bounce loop, kernel-backed.
 
-        ``orig``/``dir`` hold K path-slabs of n rays ([K*n, 3]); ``keys``
+        ``orig``/``dir`` hold K path-slabs of C rays ([K*C, 3]); ``keys``
         [K, 2] carries each slab's RNG chain.  Per-bounce uniforms are
         drawn per slab from its own chain (vmapped split), so every lane
         sees the exact value the sequential per-path scan would draw."""
@@ -1822,10 +2054,10 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
         alive = jnp.ones(orig.shape[:-1], dtype=bool)
 
         def draw_uniform(ks):
-            # [K, 2] keys -> [K*n] uniforms, slab j from key j
-            return jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype=orig.dtype))(
+            # [K, 2] keys -> [K*C] uniforms, path-slab j from key j
+            return jax.vmap(lambda k: jax.random.uniform(k, (C,), dtype=orig.dtype))(
                 ks
-            ).reshape(K * n)
+            ).reshape(K * C)
 
         # kernel L includes ambient (shade_direct's base); the NEE term
         # (trace_path) wants only the per-light visibility-weighted sum
@@ -1911,13 +2143,13 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
                         + jax.vmap(lambda kk: jax.random.uniform(kk, base.shape, dtype=base.dtype))(
                             jnp.stack(ks)
                         )
-                    ).reshape(K * n)
+                    ).reshape(K * C)
 
                 jx = jit_u(kjs, xx)
                 jy = jit_u(kj2s, yy)
                 o3, d3 = screen_rays(packed.camera, frame, W, H, jx, jy, 0.0)
                 out = trace_path_pallas(packed, o3, d3, jnp.stack(krs))
-                acc = acc + out.reshape(K, n, 3).sum(axis=0)
+                acc = acc + out.reshape(K, C, 3).sum(axis=0)
                 return (key, acc), None
 
             (_, acc), _ = jax.lax.scan(
@@ -1925,6 +2157,60 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
                 length=static.paths_per_pixel // K,
             )
             return acc / static.paths_per_pixel
+
+        if chunked:
+            # mirror render_frame's chunked XLA structure (incl. every key
+            # split) so the memory knob composes with the fused GI path
+            pad = S_slabs * C - n
+
+            def padded(a):
+                return jnp.concatenate([a, jnp.zeros(pad, dtype=dt)]).reshape(S_slabs, C)
+
+            if static.aa_enabled and static.aa_adaptive:
+                # adaptive chunked: base pass + per-tap _flat_pass twins
+                def flat_pass(xx, yy, k):
+                    keys = jax.random.split(k, S_slabs)
+                    out = jax.lax.map(
+                        lambda a: samples(a[0], a[1], a[2]), (padded(xx), padded(yy), keys)
+                    )
+                    return out.reshape(-1, 3)[:n]
+
+                key, k0 = jax.random.split(key)
+                base = flat_pass(xf, yf, k0)
+                mask = P.aa_detect(base.reshape(height, width, 3)).reshape(-1)
+                offsets = jnp.asarray(P.AA_KERNEL, dtype=dt)
+
+                def aa_body(carry, off):
+                    key, acc = carry
+                    key, kk = jax.random.split(key)
+                    return (key, acc + flat_pass(xf + off[0], yf + off[1], kk)), None
+
+                (_, acc), _ = jax.lax.scan(aa_body, (key, base), offsets)
+                img = jnp.where(mask[:, None], acc / 5.0, base)
+                return img.reshape(height, width, 3)
+
+            # non-adaptive: per-slab base + AA taps (pipeline._render_pixels
+            # per lax.map slab, same per-slab key discipline)
+            keys = jax.random.split(key, S_slabs)
+
+            def slab_body(args):
+                cx, cy, ck = args
+                ck, k0 = jax.random.split(ck)
+                img = samples(cx, cy, k0)
+                if static.aa_enabled:
+                    offsets = jnp.asarray(P.AA_KERNEL, dtype=dt)
+
+                    def aa_body(carry, off):
+                        kk2, acc = carry
+                        kk2, kk = jax.random.split(kk2)
+                        return (kk2, acc + samples(cx + off[0], cy + off[1], kk)), None
+
+                    (_, acc), _ = jax.lax.scan(aa_body, (ck, img), offsets)
+                    img = acc / 5.0
+                return img
+
+            img = jax.lax.map(slab_body, (padded(xf), padded(yf), keys))
+            return img.reshape(-1, 3)[:n].reshape(height, width, 3)
 
         key, k0 = jax.random.split(key)
         img = samples(xf, yf, k0)

@@ -121,8 +121,11 @@ def intersect_plane(geom: T.Plane, orig, dir, rec: HitRecord):
     """geometry.d:30-59."""
     oy, dy = orig[:, 1], dir[:, 1]
     miss = ((oy > geom.y) & (dy > -1e-9)) | ((oy < geom.y) & (dy < 1e-9))
-    with np.errstate(divide="ignore", invalid="ignore"):
-        mult = (oy - geom.y) / -dy
+    # non-miss lanes have |dy| >= 1e-9 by construction (oy == y exactly is
+    # always miss), so the guard only touches dead lanes — same
+    # guarded-reciprocal pattern as the device path (NaN-free invariant)
+    safe_dy = np.where(miss, 1.0, -dy)
+    mult = (oy - geom.y) / safe_dy
     ok = ~miss & (mult <= rec.dist)
     p = orig + dir * mult[:, None]
     ok &= (np.abs(p[:, 0]) <= geom.limit) & (np.abs(p[:, 2]) <= geom.limit)
@@ -173,9 +176,13 @@ def _intersect_cube_side(orig, dir, center, side, rec: HitRecord):
     half = side * 0.5
     any_found = np.zeros(n, dtype=bool)
     valid_dir = np.abs(dir[:, 1]) >= 1e-9
+    # guarded reciprocal (the NaN-free-masked-lanes invariant the device
+    # path enforces — CLAUDE.md): lanes with dir.y ~ 0 are dead via
+    # valid_dir either way; dividing by 1 keeps mult (and p below) finite
+    # so the suite runs warning-free
+    safe_dy = np.where(valid_dir, -dir[:, 1], 1.0)
     for s in (-1.0, 1.0):
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mult = (orig[:, 1] - (center[1] + s * half)) / -dir[:, 1]
+        mult = (orig[:, 1] - (center[1] + s * half)) / safe_dy
         ok = valid_dir & (mult >= 0) & (mult <= rec.dist)
         p = orig + dir * mult[:, None]
         ok &= (
@@ -699,10 +706,21 @@ class OracleRenderer:
             m = win == i
             if not m.any():
                 continue
+            if isinstance(node.shader, T.Phong):
+                # Phong's BRDF eval/spawnRay assert(0) in the reference
+                # (shader.d:252-261): a GI path that SAMPLES one aborts a
+                # debug build, while a scene merely containing the node
+                # renders fine.  Renderable equivalent: the engine's own
+                # bogus-BRDF marker (renderer.d:457, pdf < 0 => Color(1,
+                # 0, 0)) — solid red, UNSCALED (the reference's marker
+                # return bypasses the multiplier weighting), terminating
+                # the path.  Mirrors render/pipeline.trace_path.
+                out[m] = np.array([1.0, 0.0, 0.0])
+                continue
             if not isinstance(node.shader, T.Lambert):
                 raise NotImplementedError(
                     f"GI needs BRDF eval/spawnRay; {type(node.shader).__name__} has none "
-                    "(shader.d:252-261 assert(0))"
+                    "(extension shaders have none)"
                 )
             out[m] = self._pathtrace_lambert(
                 node.shader, dir[m], depth, _subset(rec, m), flags_diffuse[m], multiplier[m]

@@ -13,6 +13,16 @@ from chess2rt_tpu.render.pipeline import render_frame
 from chess2rt_tpu.scene.loader import parse_scene_from_file
 
 
+@pytest.fixture()
+def x64():
+    """Function-scoped x64 toggle (ADVICE r3: compose with other x64 users
+    via a fixture instead of inline config.update — tests/test_fuzz.py
+    pattern)."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
 def _scene(data_dir, w=24, h=16, paths=24):
     sc = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
     sc.settings.frameWidth, sc.settings.frameHeight = w, h
@@ -184,7 +194,7 @@ class TestGiNeeExtension:
             nonzero += np.abs(a).sum() > 0
         assert nonzero >= 10  # lights, colors, geometry params all carry signal
 
-    def test_gi_gradients_match_fd(self, data_dir):
+    def test_gi_gradients_match_fd(self, data_dir, x64):
         """Finite-difference ground truth for the path-traced pipeline
         (BASELINE: 'gradients verified against finite differences', here
         extended to GI).  With a FIXED key the MC render is a smooth
@@ -193,48 +203,50 @@ class TestGiNeeExtension:
         albedo scale and of light power must match central differences to
         fp accuracy — the FD anchor the fused-vs-XLA consistency test
         above chains from.  Differentiated math: the Lambert BRDF eval +
-        NEE term (reference shader.d:108-135, light.d:72-75)."""
-        jax.config.update("jax_enable_x64", True)
-        try:
-            sc = _scene(data_dir, w=10, h=8, paths=3)
-            packed, static = pack_scene(sc, dtype=jnp.float64)
-            static = dataclasses.replace(static, gi_point_light_direct=True)
-            key = jax.random.PRNGKey(3)
+        NEE term (reference shader.d:108-135, light.d:72-75).
 
-            def loss_albedo(s):
-                p = dataclasses.replace(packed, mat_color=packed.mat_color * s)
-                return (render_frame(p, static, key) ** 2).mean()
+        Smoothness assumption behind the tight rtol: the GI pipeline has
+        no parameter-dependent discrete branches (every RNG draw and
+        every lax.cond predicate is parameter-independent).  If that ever
+        changes (e.g. Russian roulette on throughput), loosen the
+        tolerance — or better, keep the property."""
+        sc = _scene(data_dir, w=10, h=8, paths=3)
+        packed, static = pack_scene(sc, dtype=jnp.float64)
+        static = dataclasses.replace(static, gi_point_light_direct=True)
+        key = jax.random.PRNGKey(3)
 
-            def loss_power(s):
-                p = dataclasses.replace(packed, light_power=packed.light_power * s)
-                return (render_frame(p, static, key) ** 2).mean()
+        def loss_albedo(s):
+            p = dataclasses.replace(packed, mat_color=packed.mat_color * s)
+            return (render_frame(p, static, key) ** 2).mean()
 
-            for loss in (loss_albedo, loss_power):
-                g = float(jax.grad(loss)(jnp.float64(1.0)))
-                h = 1e-5
-                fd = (float(loss(jnp.float64(1.0 + h))) - float(loss(jnp.float64(1.0 - h)))) / (2 * h)
-                assert g != 0.0
-                np.testing.assert_allclose(g, fd, rtol=1e-6)
-        finally:
-            jax.config.update("jax_enable_x64", False)
+        def loss_power(s):
+            p = dataclasses.replace(packed, light_power=packed.light_power * s)
+            return (render_frame(p, static, key) ** 2).mean()
 
-    def test_gi_chunk_pixels_falls_back_to_chunked_xla(self, data_dir):
-        """The fused GI renderer is whole-frame; with chunk_pixels below
-        the frame size render_frame must take the memory-bounded XLA
-        chunked path instead of silently ignoring the knob."""
-        from chess2rt_tpu.render import pipeline as P
+        for loss in (loss_albedo, loss_power):
+            g = float(jax.grad(loss)(jnp.float64(1.0)))
+            h = 1e-5
+            fd = (float(loss(jnp.float64(1.0 + h))) - float(loss(jnp.float64(1.0 - h)))) / (2 * h)
+            assert g != 0.0
+            np.testing.assert_allclose(g, fd, rtol=1e-5)
 
+    def test_gi_chunk_pixels_composes_with_fused(self, data_dir):
+        """Round-3 VERDICT item 5: with chunk_pixels below the frame size
+        the fused GI renderer runs slab-width kernels under lax.map —
+        same per-slab key splits as the chunked XLA pipeline, so the two
+        agree to kernel-vs-XLA fp tolerance (not just statistically)."""
         sc = _scene(data_dir, w=16, h=12, paths=8)
         packed, static = pack_scene(sc, dtype=jnp.float32)
-        static = dataclasses.replace(static, gi_point_light_direct=True)
-        st = dataclasses.replace(
-            static, use_pallas=True, interpret_pallas=True, chunk_pixels=64
-        )
+        static = dataclasses.replace(static, gi_point_light_direct=True, chunk_pixels=64)
+        st_f = dataclasses.replace(static, use_pallas=True, interpret_pallas=True)
         from chess2rt_tpu.ops.pallas_trace import supports_gi
 
-        assert supports_gi(st)  # the knob, not capability, forces the fallback
-        out = np.asarray(render_frame(packed, st, jax.random.PRNGKey(0)))
-        assert np.isfinite(out).all() and out.max() > 0.01
+        assert supports_gi(st_f)
+        key = jax.random.PRNGKey(0)
+        fused = np.asarray(render_frame(packed, st_f, key))
+        xla = np.asarray(render_frame(packed, static, key))
+        assert np.isfinite(fused).all() and fused.max() > 0.01
+        np.testing.assert_allclose(fused, xla, atol=5e-4)
 
     def test_nonquirk_oracle_matches_device(self, data_dir):
         """gi_multiplier_quirk=False cross-parity (ADVICE round-1 medium):
@@ -262,6 +274,63 @@ class TestGiNeeExtension:
         b = np.asarray(render_frame(packed, st_p, jax.random.PRNGKey(0)))
         assert b.mean() < a.mean()
         assert b.mean() > 0
+
+class TestPhongInGi:
+    """Round-3 VERDICT item 6: the reference only asserts when a GI path
+    actually CALLS Phong's BRDF (shader.d:252-261); a scene merely
+    containing a Phong node renders.  The renderable equivalent of the
+    per-path abort is the engine's bogus-BRDF red marker
+    (renderer.d:457)."""
+
+    def _phong_node(self, center, r=8.0):
+        from chess2rt_tpu.models import types as T
+
+        ph = T.Phong(name=f"ph{center}", color=(0.2, 0.3, 0.8), exponent=20.0, strength=0.5)
+        return T.Node(
+            name=f"phnode{center}", geometry=T.Sphere(name=f"phg{center}", center=center, R=r),
+            shader=ph,
+        )
+
+    def test_unhit_phong_node_renders_identically(self, data_dir):
+        """A Phong node no GI path can reach must not change the frame at
+        all (same RNG stream, same winners) — previously this raised at
+        trace-build time."""
+        sc = _scene(data_dir, paths=6)
+        packed0, static0 = pack_scene(sc, dtype=jnp.float32)
+        static0 = dataclasses.replace(static0, gi_point_light_direct=True)
+        ref = np.asarray(
+            jax.jit(lambda p, k: render_frame(p, static0, k))(packed0, jax.random.PRNGKey(0))
+        )
+        # far behind the camera, unreachable by any bounce
+        sc.nodes.append(self._phong_node((0.0, -5000.0, -5000.0)))
+        packed1, static1 = pack_scene(sc, dtype=jnp.float32)
+        static1 = dataclasses.replace(static1, gi_point_light_direct=True)
+        img = np.asarray(
+            jax.jit(lambda p, k: render_frame(p, static1, k))(packed1, jax.random.PRNGKey(0))
+        )
+        np.testing.assert_array_equal(img, ref)
+
+    def test_hit_phong_paints_red_marker(self, data_dir):
+        """Paths that hit a Phong node return solid (1, 0, 0), unscaled —
+        directly visible Phong pixels are EXACTLY red; device matches the
+        oracle's marker set on the directly-visible region."""
+        sc = _scene(data_dir, w=24, h=16, paths=4)
+        # big sphere dominating the view: interior pixels are exactly red
+        # for EVERY jittered sub-pixel sample, independent of RNG streams
+        sc.nodes.append(self._phong_node((0.0, 60.0, 150.0), r=55.0))
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        static = dataclasses.replace(static, gi_point_light_direct=True)
+        img = np.asarray(render_frame(packed, static, jax.random.PRNGKey(0)))
+        red = (img == np.array([1.0, 0.0, 0.0])).all(-1)
+        gold = OracleRenderer(sc, gi_point_light_direct=True, seed=7).render()
+        gred = (gold == np.array([1.0, 0.0, 0.0])).all(-1)
+        assert red.sum() >= 0.1 * red.size, red.sum()
+        assert gred.sum() >= 0.1 * gred.size, gred.sum()
+        # interior agreement: only silhouette pixels (jitter-dependent
+        # sample mixes, different RNG streams) may disagree
+        both = red & gred
+        assert both.sum() >= 0.8 * max(red.sum(), gred.sum())
+
 
 class TestDispatchOrder:
     def test_gi_beats_stereo(self, data_dir):

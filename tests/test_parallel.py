@@ -134,6 +134,100 @@ class TestShardedGrad:
         assert float(l1) < float(l0)
 
 
+class TestShardedFused:
+    """The FUSED Pallas flagship renderer under the mesh (round-3 VERDICT
+    item 1): each shard ray-gens in-kernel from its lin base and runs the
+    full fused pipeline (round-0 kernel + deferred texel combine + block-
+    compacted bounce rounds) on its pixel slice.  Per-lane kernel math is
+    bit-identical to the single-chip fused path; the residual deltas below
+    are XLA fusion/FMA differences in the (per-ray) XLA combine at
+    different widths — pinned at the ~1-ulp level plus a u8-after-sRGB
+    gate, the project's pixel-exactness currency."""
+
+    @pytest.fixture(scope="class")
+    def fused(self, data_dir):
+        from chess2rt_tpu.models import types as T
+
+        sc = parse_scene_from_file(str(data_dir / "lecture5.sdl"))
+        w, h = 48, 32  # 1536 px: pads to 2048 on the 8-way mesh (C=256)
+        sc.settings.frameWidth, sc.settings.frameHeight = w, h
+        sc.camera.set_frame_size(w, h)
+        # mirror sphere so the block-compacted bounce rounds run per shard
+        m = T.Reflection(name="m", color=(0.9, 0.85, 0.8))
+        sc.shaders.append(m)
+        sc.nodes.append(
+            T.Node(name="ball", geometry=T.Sphere(name="bm", center=(40, 30, 160), R=25.0), shader=m)
+        )
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        static = dataclasses.replace(static, use_pallas=True, interpret_pallas=True)
+        return packed, static
+
+    @staticmethod
+    def _assert_frames_match(img, ref, atol=2e-5):
+        """~1-ulp float agreement + u8-after-sRGB pixel-exactness gate."""
+        from chess2rt_tpu.utils.color import srgb_u8
+
+        assert np.abs(img - ref).max() <= atol, np.abs(img - ref).max()
+        a = srgb_u8(img).astype(int)
+        b = srgb_u8(ref).astype(int)
+        assert np.abs(a - b).max() <= 1
+        assert (a == b).mean() >= 0.999
+
+    @pytest.mark.slow
+    def test_matches_single_chip_fused(self, fused, mesh):
+        packed, static = fused
+        key = jax.random.PRNGKey(0)
+        img = np.asarray(make_sharded_render_fn(static, mesh)(packed, key))
+        ref = np.asarray(jax.jit(lambda p, k: render_frame(p, static, k))(packed, key))
+        self._assert_frames_match(img, ref)
+
+    @pytest.mark.slow
+    def test_adaptive_aa_matches_single_chip_fused(self, fused, mesh):
+        """Sharded fused adaptiveAA: sharded base taps, GLOBAL-frame detect,
+        lane-compacted taps within each shard."""
+        packed, static = fused
+        st = dataclasses.replace(static, aa_adaptive=True)
+        key = jax.random.PRNGKey(0)
+        img = np.asarray(make_sharded_render_fn(st, mesh)(packed, key))
+        ref = np.asarray(jax.jit(lambda p, k: render_frame(p, st, k))(packed, key))
+        self._assert_frames_match(img, ref, atol=1e-5)
+        # and the mask must actually bite vs the quirk path
+        stq = dataclasses.replace(static, aa_adaptive=False)
+        quirk = np.asarray(make_sharded_render_fn(stq, mesh)(packed, key))
+        assert (img != quirk).any()
+
+    @pytest.mark.slow
+    def test_chunk_pixels_honored_per_shard(self, fused, data_dir):
+        """chunk_pixels under the mesh (round-3 VERDICT item 2): chunked
+        per-shard slabs through the lin-input kernel must reproduce the
+        unchunked sharded frame — the distributed-8K memory-bound story."""
+        packed, static = fused
+        key = jax.random.PRNGKey(0)
+        m2 = make_mesh(jax.devices()[:2])  # C = 1024/shard -> real slabs
+        ref = np.asarray(make_sharded_render_fn(static, m2)(packed, key))
+        stc = dataclasses.replace(static, chunk_pixels=512)
+        img = np.asarray(make_sharded_render_fn(stc, m2)(packed, key))
+        self._assert_frames_match(img, ref, atol=1e-5)
+
+    @pytest.mark.slow
+    def test_grads_match_single_chip_fused(self, fused, mesh):
+        """Sharded fused inverse rendering: per-shard custom-VJP backward +
+        psum must match the single-chip fused value_and_grad."""
+        packed, static = fused
+        key = jax.random.PRNGKey(0)
+        target = jnp.zeros((static.height, static.width, 3), jnp.float32)
+        loss, g = make_sharded_value_and_grad(static, mesh)(packed, target, key)
+        l1, g1 = jax.value_and_grad(
+            lambda p: ((render_frame(p, static, key) - target) ** 2).mean()
+        )(packed)
+        np.testing.assert_allclose(float(loss), float(l1), rtol=1e-5)
+        for f in ("light_power", "plane_y", "mat_color", "sphere_center", "checker_c2"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g, f)), np.asarray(getattr(g1, f)), rtol=1e-4, atol=1e-10
+            )
+        np.testing.assert_allclose(float(g.camera.fov), float(g1.camera.fov), rtol=1e-4)
+
+
 class TestMesh2D:
     """2-D (hosts x chips) mesh (SURVEY.md §5.8, round-2 VERDICT item 6):
     same math as the 1-D mesh; the all-reduce decomposes into ICI + DCN
