@@ -52,10 +52,12 @@ def build(width=WIDTH, height=HEIGHT):
     return pack_scene(sc, dtype=jnp.float32)
 
 
-def main_grad():
+def main_grad(w=640, h=480, steps_per_call=8):
     """Secondary metric (BASELINE.md): grad-rays/s — traced rays per second
     for a full value_and_grad step (forward + backward through the whole
-    differentiable pipeline) on lecture5 at 640x480, AA off.
+    differentiable pipeline) on lecture5 + mirror, AA off.  Default
+    640x480; `--grad --size 1920x1080` measures the flagship-resolution
+    step (round-3 VERDICT item 3), texel gradients on either way.
 
     Prints one JSON line: {"metric": "grad_rays_per_sec", ...}."""
     import dataclasses
@@ -63,7 +65,6 @@ def main_grad():
     from chess2rt_tpu.render.pipeline import render_frame
     from chess2rt_tpu.utils.diagnostics import frame_ray_stats
 
-    w, h = 640, 480
     packed, static = build(w, h)
     # compaction is differentiable (cond/gather/scatter all have VJPs);
     # continuing set at this resolution is ~14k rays -> capacity //16.
@@ -90,7 +91,7 @@ def main_grad():
     # per-step throughput requires amortizing it — every step is a REAL,
     # distinct step thanks to the key-jittered camera below).  Every grad
     # leaf feeds the checksum so no part of the backward can be DCE'd.
-    STEPS_PER_CALL = 8
+    STEPS_PER_CALL = steps_per_call
 
     def many(p, keys):
         def body(acc, k):
@@ -455,7 +456,13 @@ def main_verify_counts():
 
 if __name__ == "__main__":
     if "--grad" in sys.argv:
-        main_grad()
+        w, h = 640, 480
+        if "--size" in sys.argv:
+            w, h = map(int, sys.argv[sys.argv.index("--size") + 1].split("x"))
+        steps = 8 if w * h <= 640 * 480 else 4
+        if "--steps" in sys.argv:
+            steps = int(sys.argv[sys.argv.index("--steps") + 1])
+        main_grad(w, h, steps)
     elif "--sharded" in sys.argv:
         main_sharded()
     elif "--check" in sys.argv:

@@ -205,6 +205,18 @@ class SceneStatic:
     # per-ray scatter-add (slow on TPU); disable when texels aren't being
     # optimized
     train_textures: bool = True
+    # AA-tap texel-gather reuse (round-4, MEASURED A LOSS on the flagship
+    # — default False): each AA tap reuses the base tap's gathered [n, 12]
+    # quads and re-gathers only changed-key lanes (lane-compacted: one
+    # n-key sort + small row gather + scatter-set; bit-identical, overflow
+    # cond-falls back to the full gather).  The premise "sub-pixel offsets
+    # rarely change the quad" holds only for MAGNIFIED textures: the
+    # flagship's horizon floor + globe are minified, so 30-53% of lanes
+    # change key per tap (probe 2026-08-19) and the bench read 67.8 vs
+    # 65.5 ms.  Kept for magnified-texture scenes.
+    texel_tap_reuse: bool = False
+    # changed-lane capacity per tap (None = frame_pixels // 8)
+    texel_reuse_capacity: Optional[int] = None
     # texel-cotangent accumulation strategy (ops/shade._quad_gather):
     # "histogram" sorts by texel key then accumulates via per-tile one-hot
     # matmuls on the MXU (ops/texel_hist.py — fastest measured);

@@ -35,6 +35,12 @@ import jax.numpy as jnp
 # (the per-ray texel fetch), not for few-index compaction gathers.
 U16_FAST_ROWS = 450_000
 MAX_FOLD = 8
+# Folding multiplies the gathered bytes by K: cap the folded result size
+# so index-heavy gathers on HUGE tables (the texel-VJP's [n_pixels, 12]
+# permutation gather at 1080p: k=8 -> two 1.48 GB u32 temps, OOM) fall
+# back to the plain f32 gather instead.  512 MB keeps the measured wins
+# (zaphod's merged bitmap+cubemap table folds k=2 at ~384 MB).
+FOLD_BYTES_CAP = 512 * 1024 * 1024
 
 
 def row_gather_raw(table, idx, fold=False):
@@ -58,6 +64,10 @@ def row_gather_raw(table, idx, fold=False):
             k *= 2
         if n > k * U16_FAST_ROWS:
             return table[idx]  # too large even folded: plain gather
+        import numpy as np
+
+        if int(np.prod(idx.shape)) * k * c * 4 > FOLD_BYTES_CAP:
+            return table[idx]  # folded result too big (see FOLD_BYTES_CAP)
         pad = (-n) % k
         if pad:
             table = jnp.concatenate([table, jnp.zeros((pad, c), table.dtype)])

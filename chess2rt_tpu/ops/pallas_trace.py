@@ -1116,13 +1116,53 @@ def build_round0_kernel(
 # --------------------------------------------------------------------------
 
 
-def combine_outputs(packed: ScenePacked, static: SceneStatic, o, dirs_or_none):
+def _reused_quads(static, quads, key, texel_reuse):
+    """AA-tap texel-gather dedupe (round-4, VERDICT r3 item 4): given the
+    base tap's (key0, g0 [n, 12]) in ``texel_reuse``, return this tap's
+    quads by reusing g0 where the texel key is unchanged (the overwhelming
+    majority — sub-pixel offsets <= 0.6 px) and re-gathering only the
+    changed lanes, LANE-compacted: one n-key sort + one [cap, 12] row
+    gather + one [cap, 12] sorted scatter-set, vs a full per-index gather
+    (~8 ms at 2M lanes).  Same keys -> same rows, so the result is
+    bit-identical; overflow falls back to the full gather (lax.cond).
+    Differentiable: unchanged lanes route their cotangents into the base
+    tap's gather (linear), changed lanes into the small one."""
+    from ..render import pipeline as P
+    from . import shade as S
+
+    key0, g0 = texel_reuse
+    n = key.shape[0]
+    cap = static.texel_reuse_capacity or -(-n // 8)
+    cap = min(cap, n)
+    changed = key != key0
+    count = changed.sum()
+
+    def full(_):
+        return S.quad_gather_flat(static.texel_grad_mode, quads, key)
+
+    def compact(g0):
+        sel = P.compact_indices(changed, n, cap)
+        selc = jnp.minimum(sel, n - 1)
+        live = jnp.arange(cap) < count
+        rows = S.quad_gather_flat(static.texel_grad_mode, quads, key[selc])
+        tgt = jnp.where(live, sel, n)
+        return g0.at[tgt].set(rows, mode="drop", indices_are_sorted=True)
+
+    return jax.lax.cond(count <= cap, compact, full, g0)
+
+
+def combine_outputs(packed: ScenePacked, static: SceneStatic, o, dirs_or_none,
+                    texel_plan=False, texel_reuse=None):
     """Kernel outputs -> (direct color incl. deferred texels + env,
     continuation mask, attenuation factor, refl orig, refl dir).
 
     Every op here is differentiable; the grad path (ops/pallas_grad.py)
     shares this combine so bitmap-texel / env / attenuation cotangents are
-    identical to the forward flagship's structure."""
+    identical to the forward flagship's structure.
+
+    ``texel_plan=True`` appends (key, g) — this tap's texel keys and
+    gathered [n, 12] quads — to the returned tuple, for AA-tap reuse;
+    ``texel_reuse=(key0, g0)`` consumes a base tap's plan (_reused_quads)."""
     from . import shade as S
 
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
@@ -1132,6 +1172,7 @@ def combine_outputs(packed: ScenePacked, static: SceneStatic, o, dirs_or_none):
     color = jnp.stack([o["r"], o["g"], o["b"]], axis=-1)
     winc = jnp.maximum(win, 0)
     onehot = S.node_onehot(static, winc) if (has_bitmap or has_refl) else None
+    plan = None
     if has_bitmap and use_env:
         # MERGED per-ray row gather: bitmap-hit texels and miss-ray cubemap
         # texels are mutually exclusive, so one gather over the
@@ -1146,16 +1187,30 @@ def combine_outputs(packed: ScenePacked, static: SceneStatic, o, dirs_or_none):
         miss = win < 0
         missc = miss[..., None]
         key = jnp.where(miss, quads_t.shape[0] + key_e, key_t)
-        g = S.quad_gather_flat(
-            static.texel_grad_mode, jnp.concatenate([quads_t, quads_e]), key
-        )
+        quads_all = jnp.concatenate([quads_t, quads_e])
+        if texel_reuse is not None:
+            g = _reused_quads(static, quads_all, key, texel_reuse)
+        else:
+            g = S.quad_gather_flat(static.texel_grad_mode, quads_all, key)
+        plan = (key, g)
         out3 = S.bilerp_quad(g, jnp.where(missc, p_e, p_t), jnp.where(missc, q_e, q_t))
         L = jnp.stack([o["lr"], o["lg"], o["lb"]], axis=-1)
         is_bmp = (S.tex_kind_of(static, winc) == TEX_BITMAP) & (win >= 0)
         w3 = jnp.where(is_bmp[..., None], L, 0.0) + jnp.where(missc, 1.0, 0.0)
         color = color + out3 * w3
     elif has_bitmap:
-        tex = S.bitmap_color(packed, static, winc, o["u"], o["v"], onehot)
+        if texel_plan or texel_reuse is not None:
+            quads_t, key_t, p_t, q_t = S.bitmap_plan(
+                packed, static, winc, o["u"], o["v"], onehot
+            )
+            if texel_reuse is not None:
+                g = _reused_quads(static, quads_t, key_t, texel_reuse)
+            else:
+                g = S.quad_gather_flat(static.texel_grad_mode, quads_t, key_t)
+            plan = (key_t, g)
+            tex = S.bilerp_quad(g, p_t, q_t)
+        else:
+            tex = S.bitmap_color(packed, static, winc, o["u"], o["v"], onehot)
         L = jnp.stack([o["lr"], o["lg"], o["lb"]], axis=-1)
         is_bmp = (S.tex_kind_of(static, winc) == TEX_BITMAP) & (win >= 0)
         color = color + jnp.where(is_bmp[..., None], tex * L, 0.0)
@@ -1165,13 +1220,17 @@ def combine_outputs(packed: ScenePacked, static: SceneStatic, o, dirs_or_none):
         env = sample_cubemap(packed.env_cubemap, dirs_or_none)
         color = color + jnp.where((win < 0)[..., None], env, 0.0)
     if not has_refl:
-        return color, None, None, None, None
-    skind = S.shader_kind_of(static, winc)
-    cont = (win >= 0) & ((skind == REFLECTION) | (skind == REFRACTION))
-    atten = jnp.where(cont[..., None], S.node_gather(onehot, packed.mat_color), 1.0)
-    ro = jnp.stack([o["rox"], o["roy"], o["roz"]], axis=-1)
-    rd = jnp.stack([o["rdx"], o["rdy"], o["rdz"]], axis=-1)
-    return color, cont, atten, ro, rd
+        out = (color, None, None, None, None)
+    else:
+        skind = S.shader_kind_of(static, winc)
+        cont = (win >= 0) & ((skind == REFLECTION) | (skind == REFRACTION))
+        atten = jnp.where(cont[..., None], S.node_gather(onehot, packed.mat_color), 1.0)
+        ro = jnp.stack([o["rox"], o["roy"], o["roz"]], axis=-1)
+        rd = jnp.stack([o["rdx"], o["rdy"], o["rdz"]], axis=-1)
+        out = (color, cont, atten, ro, rd)
+    if texel_plan:
+        return out + (plan,)
+    return out
 
 
 def build_bounce_finisher(
@@ -1230,7 +1289,15 @@ def build_bounce_finisher(
     if use_pallas_bounce:
         cap = -(-cap // TILE_N) * TILE_N
         kern_bounce = build_diff_round0(static, width, height, interpret, n_rays=cap)
-    if full_bounce:
+    if full_bounce or block_bounce or use_pallas_bounce:
+        # full-width ray-input kernel: the "full" mode's round driver AND
+        # the capacity-overflow fallback of the compacted modes.  The old
+        # fallback (P.continue_bounces -> lax.scan over XLA rounds) stacked
+        # [rounds, N, 3] scan residuals under reverse-mode AD that TPU
+        # tiling pads ~43x — three 4.94 GB buffers at a 1080p grad step,
+        # allocated even when the branch never executes (XLA sizes a cond
+        # by the max over branches).  Unrolled kernel rounds keep residuals
+        # per-round and well-tiled, and are bit-identical to "full" mode.
         kern_fullw = build_diff_round0(static, width, height, interpret, n_rays=n)
     if block_bounce:
         nblk = n // BOUNCE_BLOCK
@@ -1260,7 +1327,21 @@ def build_bounce_finisher(
         count = alive.sum()
 
         def full_path(color, atten, alive, orig, dir):
-            return P.continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds)
+            # overflow fallback = the full-width KERNEL rounds (see the
+            # kern_fullw build note: the XLA-scan fallback's stacked AD
+            # residuals OOM'd the 1080p grad step).  jax.checkpoint: the
+            # unrolled rounds would otherwise save ~[N, 3] residuals per
+            # round, several of which XLA lays out as T(8, 128) (43x pad)
+            # — and a cond allocates its untaken branch too.  Saving only
+            # the 5 inputs keeps the rarely-taken branch memory-flat.
+            # inputs saved TRANSPOSED [3, N]: checkpoint materializes its
+            # residuals, and XLA lays a saved [N, 3] out as T(8, 128)
+            # (43x pad -> 1 GB each at 1080p); [3, N] pads ~nothing
+            return jax.checkpoint(
+                lambda cT, atT, al, oT, dT: fullwidth_bounces(
+                    packed, cT.T, atT.T, al, oT.T, dT.T, n_rounds
+                )
+            )(color.T, atten.T, alive, orig.T, dir.T)
 
         def compact_path(color, atten, alive, orig, dir):
             from .fastgather import row_gather
@@ -1313,7 +1394,14 @@ def build_bounce_finisher(
         count = blk_alive.sum()
 
         def full_path(color, atten, alive, orig, dir):
-            return P.continue_bounces(packed, static, color, atten, alive, orig, dir, n_rounds)
+            # kernel-based REMATED overflow fallback (see pallas_bounces'
+            # full_path note)
+            # transposed-input remat: see pallas_bounces' full_path note
+            return jax.checkpoint(
+                lambda cT, atT, al, oT, dT: fullwidth_bounces(
+                    packed, cT.T, atT.T, al, oT.T, dT.T, n_rounds
+                )
+            )(color.T, atten.T, alive, orig.T, dir.T)
 
         def compact_path(color, atten, alive, orig, dir):
             sel = P.compact_indices(blk_alive, nblk, cap_blk)  # sort over n/B keys
@@ -1441,6 +1529,17 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         _, dirs = screen_rays(packed.camera, frame, float(width), float(height), xs, ys, 0.0)
         return dirs
 
+    # AA-tap texel-gather reuse (round-4): taps 1..4 reuse the base tap's
+    # gathered quads and re-gather only changed-key lanes (_reused_quads)
+    texel_reuse_on = (
+        static.texel_tap_reuse
+        and static.aa_enabled
+        and not static.aa_adaptive
+        and not chunked
+        and not mc_mode
+        and TEX_BITMAP in static.tex_kinds_present
+    )
+
     if not chunked and not mc_mode:
         kern = build_diff_round0(static, width, height, interpret)
         _finish_bounces = build_bounce_finisher(static, width, height, interpret, n)
@@ -1450,6 +1549,24 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             dirs = _tap_dirs(packed, aa_offset) if static.has_env else None
             color, cont, atten, ro, rd = combine(packed, o, dirs)
             return _finish_bounces(packed, color, cont, atten, ro, rd)
+
+        if texel_reuse_on:
+
+            def render_tap_plan(packed: ScenePacked, aa_offset):
+                o = kern(packed, aa_offset)
+                dirs = _tap_dirs(packed, aa_offset) if static.has_env else None
+                color, cont, atten, ro, rd, plan = combine_outputs(
+                    packed, static, o, dirs, texel_plan=True
+                )
+                return _finish_bounces(packed, color, cont, atten, ro, rd), plan
+
+            def render_tap_reuse(packed: ScenePacked, aa_offset, plan):
+                o = kern(packed, aa_offset)
+                dirs = _tap_dirs(packed, aa_offset) if static.has_env else None
+                color, cont, atten, ro, rd = combine_outputs(
+                    packed, static, o, dirs, texel_reuse=plan
+                )
+                return _finish_bounces(packed, color, cont, atten, ro, rd)
 
     if chunked and not mc_mode:
         # MEMORY-BOUNDED fused path: the reference's bucket decomposition
@@ -1774,6 +1891,19 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             acc, _ = jax.lax.scan(body, base, offsets4)
             img = jnp.where(mask[:, None], acc / 5.0, base)
             return img.reshape(height, width, 3)
+        if texel_reuse_on:
+            # base tap gathers its quads once; taps 1..4 reuse them and
+            # re-gather only changed-key lanes (VERDICT r3 item 4: the 4
+            # extra taps' full per-index quad gathers were ~8 ms each at
+            # 1080p; sub-pixel offsets rarely change the quad)
+            base, plan = render_tap_plan(packed, jnp.zeros(2, jnp.float32))
+
+            def body(acc, off):
+                return acc + render_tap_reuse(packed, off, plan), None
+
+            acc, _ = jax.lax.scan(body, base, offsets4)
+            return (acc / 5.0).reshape(height, width, 3)
+
         # all 5 AA taps through ONE traced tap (the offset is a runtime
         # SMEM parameter): 1/5th the trace/compile of unrolled taps
         offsets = jnp.concatenate([jnp.zeros((1, 2), jnp.float32), offsets4])
@@ -1844,6 +1974,14 @@ def build_rows_renderer(static: SceneStatic, width: int, height: int,
     def combine(packed, o, dirs_or_none):
         return combine_outputs(packed, static, o, dirs_or_none)
 
+    rows_reuse_on = (
+        static.texel_tap_reuse
+        and static.aa_enabled
+        and not static.aa_adaptive
+        and not chunked
+        and TEX_BITMAP in static.tex_kinds_present
+    )
+
     if not chunked:
         kern = build_diff_round0(static, width, height, interpret, n_rays=n, lin_input=True)
         finish = build_bounce_finisher(static, width, height, interpret, n, is_slab=is_slab)
@@ -1857,6 +1995,33 @@ def build_rows_renderer(static: SceneStatic, width: int, height: int,
             )
             color, cont, atten, ro, rd = combine(packed, o, dirs)
             return finish(packed, color, cont, atten, ro, rd)
+
+        if rows_reuse_on:
+            # AA-tap texel-gather reuse, per shard (see _reused_quads)
+
+            def render_tap_plan(packed, lin_base, aa_offset):
+                o = kern(packed, lin_base, aa_offset)
+                dirs = (
+                    _lin_dirs(packed, width, height, lin_base, n, aa_offset)
+                    if static.has_env
+                    else None
+                )
+                color, cont, atten, ro, rd, plan = combine_outputs(
+                    packed, static, o, dirs, texel_plan=True
+                )
+                return finish(packed, color, cont, atten, ro, rd), plan
+
+            def render_tap_reuse(packed, lin_base, aa_offset, plan):
+                o = kern(packed, lin_base, aa_offset)
+                dirs = (
+                    _lin_dirs(packed, width, height, lin_base, n, aa_offset)
+                    if static.has_env
+                    else None
+                )
+                color, cont, atten, ro, rd = combine_outputs(
+                    packed, static, o, dirs, texel_reuse=plan
+                )
+                return finish(packed, color, cont, atten, ro, rd)
 
     else:
         C = -(-static.chunk_pixels // TILE_N) * TILE_N
@@ -1903,6 +2068,14 @@ def build_rows_renderer(static: SceneStatic, width: int, height: int,
         if not static.aa_enabled:
             return render_tap(packed, lb, zero2)
         if not static.aa_adaptive:
+            if rows_reuse_on:
+                base, plan = render_tap_plan(packed, lb, zero2)
+
+                def body(acc, off):
+                    return acc + render_tap_reuse(packed, lb, off, plan), None
+
+                acc, _ = jax.lax.scan(body, base, offsets4)
+                return acc / 5.0
             # reference quirk semantics: every pixel = avg of the 5 taps
             offsets = jnp.concatenate([jnp.zeros((1, 2), jnp.float32), offsets4])
 

@@ -59,6 +59,10 @@ def worker_main(argv=None) -> None:
     ap.add_argument("--width", type=int, required=True)
     ap.add_argument("--height", type=int, required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--mesh2d", action="store_true",
+                    help="build the 2-D (hosts x chips) mesh: the host axis "
+                         "spans the OS processes (the DCN stage of the psum "
+                         "decomposition), the chip axis is process-local")
     args = ap.parse_args(argv)
 
     import jax
@@ -68,7 +72,7 @@ def worker_main(argv=None) -> None:
     jax.config.update("jax_platforms", "cpu")
 
     from .distributed import initialize_distributed
-    from .mesh import make_mesh, make_sharded_value_and_grad
+    from .mesh import make_mesh, make_mesh_2d, make_sharded_value_and_grad
 
     info = initialize_distributed(
         coordinator_address=args.coordinator,
@@ -82,7 +86,14 @@ def worker_main(argv=None) -> None:
     import numpy as np
 
     packed, static = _build(args.width, args.height)
-    mesh = make_mesh()  # global: spans every process's devices
+    if args.mesh2d:
+        # (hosts, chips): jax.devices() orders by process, so reshape rows
+        # are per-process device groups — the "host" psum stage crosses
+        # REAL process boundaries (DCN on a pod), "chip" stays local (ICI)
+        mesh = make_mesh_2d(hosts=args.num_processes)
+        assert mesh.devices.shape[0] == args.num_processes, mesh.devices.shape
+    else:
+        mesh = make_mesh()  # global: spans every process's devices
     vg = make_sharded_value_and_grad(static, mesh)
     target = jnp.zeros((static.height, static.width, 3), dtype=jnp.float32)
     loss, grads = vg(packed, target, jax.random.PRNGKey(0))
@@ -105,10 +116,18 @@ def worker_main(argv=None) -> None:
     multihost_utils.sync_global_devices("mp_dryrun_save_done")
 
 
-def run_multiprocess_dryrun(num_processes: int = 2, width: int = 17, height: int = 3, timeout: int = 600):
+def run_multiprocess_dryrun(num_processes: int = 2, width: int = 17, height: int = 3,
+                            timeout: int = 600, devices_per_process: int = 1,
+                            mesh2d: bool = False):
     """Spawn ``num_processes`` worker ranks with a TCP coordinator on a
     fresh port; returns (loss: float, grad_leaves: list[np.ndarray]) from
-    rank 0.  Raises on any rank failure (stderr attached)."""
+    rank 0.  Raises on any rank failure (stderr attached).
+
+    ``devices_per_process`` > 1 + ``mesh2d`` runs the (hosts x chips) 2-D
+    mesh across REAL process boundaries: the gradient all-reduce
+    decomposes into a process-local (ICI-analog) stage and a
+    cross-process (DCN-analog) stage — SURVEY.md §5.8, round-3 VERDICT
+    item 9."""
     import numpy as np
 
     with socket.socket() as s:  # reserve a free port for the coordinator
@@ -121,7 +140,7 @@ def run_multiprocess_dryrun(num_processes: int = 2, width: int = 17, height: int
     # one CPU device per rank; PYTHONPATH must keep the axon site dir
     # (replacing it breaks TPU plugin registration for any child that
     # touches it) — we inherit and only override the device count
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices_per_process}"
     procs = []
     for rank in range(num_processes):
         procs.append(
@@ -142,7 +161,8 @@ def run_multiprocess_dryrun(num_processes: int = 2, width: int = 17, height: int
                     str(height),
                     "--out",
                     out,
-                ],
+                ]
+                + (["--mesh2d"] if mesh2d else []),
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,

@@ -321,3 +321,27 @@ class TestMultiProcess:
         assert len(mp_leaves) == len(ref)
         for a, b in zip(mp_leaves, ref):
             np.testing.assert_allclose(a, np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    @pytest.mark.slow
+    def test_2x2_hosts_chips_mesh_across_processes(self):
+        """Round-3 VERDICT item 9: the 2-D (hosts x chips) mesh across REAL
+        OS-process boundaries — 2 processes x 2 local devices, the host
+        psum stage crossing processes (the DCN stage on a pod), the chip
+        stage staying process-local (ICI).  Loss + grads must match the
+        in-process mesh (per-shard-grad psum => layout independent)."""
+        from chess2rt_tpu.parallel.mp_dryrun import _build, run_multiprocess_dryrun
+
+        w, h = 17, 3
+        packed, static = _build(w, h)
+        vg = make_sharded_value_and_grad(static, make_mesh(jax.devices()[:2]))
+        target = jnp.zeros((h, w, 3), jnp.float32)
+        loss, grads = vg(packed, target, jax.random.PRNGKey(0))
+
+        mp_loss, mp_leaves = run_multiprocess_dryrun(
+            2, width=w, height=h, devices_per_process=2, mesh2d=True
+        )
+        np.testing.assert_allclose(mp_loss, float(loss), rtol=1e-5)
+        ref = jax.tree.leaves(grads)
+        assert len(mp_leaves) == len(ref)
+        for a, b in zip(mp_leaves, ref):
+            np.testing.assert_allclose(a, np.asarray(b), rtol=1e-4, atol=1e-6)

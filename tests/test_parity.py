@@ -84,8 +84,18 @@ class TestF32Production:
         # Horizon-plane UVs used to lose ~11 bits to the camera-position
         # round trip in the corner interpolation; the pos-free corner
         # re-derivation (ops/camera.py begin_frame) restores full f32
-        # relative precision, so the u8 tail is tight.  The remaining >1
-        # pixels are razor-edge texel-boundary flips.
+        # relative precision, so the u8 tail is tight.
+        #
+        # The remaining ~0.11% >1 pixels (round-4 analysis, 2026-08-19):
+        # ALL sit in the near-horizon band (rows ~10-15 at 640x480), where
+        # dir.y ~ 1.5e-3.  Measured u error there is ~0.23 units = ~0.7
+        # texels of the minified world map — exactly 1-2 ulps of the O(1)
+        # f32 corner arithmetic (incl. f32 sin/cos in begin_frame, which
+        # rounds corners to ~1.5e-8 abs) amplified by the 1/dir.y ~ 700x
+        # horizon factor.  No f32 op reordering can beat the corners' own
+        # rounding, so this tail is irreducible without f64-quality
+        # ray-gen; the f64 path (the production exactness answer) is
+        # 100.000000% u8-exact at 1080p (TestF64 above).
         sc = _load(data_dir, "lecture5.sdl", aa=False)
         gold = OracleRenderer(sc).render()
         img = np.asarray(render_scene_jax(sc, dtype=jnp.float32))
@@ -94,6 +104,12 @@ class TestF32Production:
         assert (d == 0).mean() > 0.99
         assert (d <= 1).mean() > 0.995
         assert np.median(np.abs(np.asarray(img) - gold)) < 1e-4
+        # pin the horizon-band claim: AWAY from the top grazing band the
+        # frame is within-1 EVERYWHERE — a new >1 pixel in the lower 3/4
+        # of the frame is a real regression, not f32 horizon chaos (at
+        # 640x480 the >1 pixels sit in rows ~10-15 + one razor-edge
+        # silhouette pixel; at this 48x32 test size the band is rows 0-1)
+        assert (d[8:] <= 1).all(), np.nonzero(d[8:] > 1)
 
     def test_zaphod_dof_statistical(self, data_dir):
         # DoF is stochastic (disc sampling); reference RNG is time-seeded so
