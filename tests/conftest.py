@@ -33,3 +33,62 @@ def data_dir() -> pathlib.Path:
     if not REFERENCE_DATA.exists():
         pytest.skip(f"scene data dir not found: {REFERENCE_DATA} (set CHESS2RT_DATA_DIR)")
     return REFERENCE_DATA
+
+
+# ---------------------------------------------------------------------------
+# Fast/slow tiers (round-3 VERDICT item 8).  The full suite is ~24 min of
+# interpret-mode kernel compiles; CI and the inner dev loop run
+# `-m "not slow"` (~3 min).  Tests are assigned to the slow tier centrally
+# here, by measured duration (>= ~5.5 s on the reference box, pytest
+# --durations, 2026-08-19) — heavy interpret-mode fused-kernel parity and
+# grad checks.  Core f32/f64 oracle-parity tests stay in the fast tier
+# regardless of cost.  Explicit @pytest.mark.slow decorators (fused-mesh
+# tests) compose with this list.
+_SLOW_NODES = {
+    "tests/test_pallas.py::TestKernelParity::test_texel_tap_reuse_bitexact",
+    "tests/test_pallas.py::TestKernelParity::test_adaptive_aa_fused_matches_xla",
+    "tests/test_pallas.py::TestKernelParity::test_chunked_fused_matches_unchunked",
+    "tests/test_pallas.py::TestKernelParity::test_adaptive_aa_dof_and_gi_fused",
+    "tests/test_pallas.py::TestKernelParity::test_block_bounce_mode_bitexact",
+    "tests/test_pallas.py::TestKernelParity::test_fullwidth_bounce_mode_bitexact",
+    "tests/test_pallas.py::TestKernelParity::test_mixed_scene_phong_sphere_cube",
+    "tests/test_pallas.py::TestKernelParity::test_lecture4_checker",
+    "tests/test_pallas.py::TestKernelParity::test_reflection_bounces",
+    "tests/test_pallas.py::TestKernelParity::test_lecture5_flagship",
+    "tests/test_pallas.py::TestMergedEnvBitmapGather::test_grads_match_plain_modes",
+    "tests/test_pallas.py::TestRefraction::test_refraction_matches_xla",
+    "tests/test_pallas.py::TestMonteCarloModes::test_dof_matches_xla_same_keys",
+    "tests/test_pallas_grad.py::TestWhittedGrads::test_flagship_grads_match_xla",
+    "tests/test_pallas_grad.py::TestWhittedGrads::test_fd_check_light_color",
+    "tests/test_pallas_grad.py::TestWhittedGrads::test_lecture4_grads_match_xla",
+    "tests/test_pallas_grad.py::TestWhittedGrads::test_camera_grads_flow",
+    "tests/test_pallas_grad.py::TestWhittedGrads::test_aa_grads",
+    "tests/test_pallas_grad.py::TestGIGrads::test_gi_grads_match_xla",
+    "tests/test_pallas_grad.py::TestLeafPins::test_leaf_vs_node_pin_grads",
+    "tests/test_pallas_grad.py::TestLeafPins::test_leaf_pins_identify_winners",
+    "tests/test_inverse.py::test_all_grad_leaves_finite_flagship",
+    "tests/test_inverse.py::TestTexelGradModes::test_modes_agree_and_match_fd",
+    "tests/test_parallel.py::TestMultiProcess::test_two_process_bringup_matches_in_process",
+    "tests/test_parallel.py::TestShardedGrad::test_loss_and_grads_match_single_device",
+    "tests/test_parallel.py::TestShardedGrad::test_grad_descent_step_reduces_loss",
+    "tests/test_parallel.py::TestShardedGrad::test_adaptive_aa_grads_match_single_device",
+    "tests/test_parallel.py::TestMesh2D::test_grads_match_1d_mesh",
+    "tests/test_parallel.py::TestCheckpointRestart::test_restart_trajectory_exact",
+    "tests/test_gi.py::TestGiNeeExtension::test_gi_gradients_fused_matches_xla",
+    "tests/test_gi.py::TestGiNeeExtension::test_kernel_gi_per_pixel_z_score",
+    "tests/test_gi.py::TestGiNeeExtension::test_gi_gradients_match_fd",
+    "tests/test_gi.py::TestGiNeeExtension::test_gi_path_batch_matches_sequential",
+    "tests/test_gi.py::TestGiNeeExtension::test_per_pixel_z_score",
+    "tests/test_gi.py::TestGiNeeExtension::test_gi_chunk_pixels_composes_with_fused",
+    "tests/test_bump.py::TestBumpGrads::test_grads_finite_through_bump",
+    "tests/test_fuzz.py::TestFuzzPallasKernel::test_random_scene_matches_xla",
+    "tests/test_parity.py::TestDifferentiability::test_grad_flows_to_scene_params",
+    "tests/test_parity.py::TestExtensions::test_adaptive_aa_device_matches_oracle_lecture5",
+    "tests/test_diagnostics.py::TestCubemap::test_cubemap_gradient_flows",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid.split("[")[0] in _SLOW_NODES:
+            item.add_marker(pytest.mark.slow)
