@@ -274,17 +274,30 @@ def _qgf_bwd(mode, res, g):
     # to the sorted monotone scatter, which is dtype-generic
     if mode == "histogram" and flat_n > 1 and gf.dtype == jnp.float32:
         # sort, then accumulate on the MXU (ops/texel_hist.py) instead of
-        # the monotone scatter-add.  Only (key, lane-id) go through the
-        # bitonic sort — a 13-operand payload sort costs ~operand-count
-        # times the 2-operand one (round-3 grad probe: ~11.5 ms of a
-        # 24.6 ms step was texel machinery) — and the payload follows via
-        # one permutation row gather, which ops/fastgather.py makes cheap.
-        from .fastgather import row_gather_raw
+        # the monotone scatter-add.  HOW to sort is gated by lane count:
+        #
+        # * small batches (<= the u16 fast-gather zone): only (key,
+        #   lane-id) go through the bitonic sort and the payload follows
+        #   via one permutation row gather — a 13-operand payload sort
+        #   costs ~operand-count times the 2-operand one while the perm
+        #   gather is ~free in the fast zone (round-3 grad probe);
+        # * LARGE batches: the [flat_n, 12] cotangent "table" exceeds the
+        #   gather fast zone, where EVERY gather flavor collapses to
+        #   ~25 ns/row (round 4, v5e at 2.07M lanes: plain perm gather
+        #   49 ms, slab-folded u16 57 ms) — the 13-operand sort (23.3 ms)
+        #   beats 2-op sort + gather (51.6 ms) outright.
+        from .fastgather import U16_FAST_ROWS, row_gather_raw
         from .texel_hist import texel_histogram
 
-        perm = jax.lax.iota(jnp.int32, flat_n)
-        sk, sperm = jax.lax.sort((kf, perm), num_keys=1)
-        sg = row_gather_raw(gf, sperm, fold=True)
+        if flat_n > U16_FAST_ROWS:
+            ops = (kf,) + tuple(gf[:, c] for c in range(C))
+            s = jax.lax.sort(ops, num_keys=1)
+            sk = s[0]
+            sg = jnp.stack(s[1:], axis=-1)
+        else:
+            perm = jax.lax.iota(jnp.int32, flat_n)
+            sk, sperm = jax.lax.sort((kf, perm), num_keys=1)
+            sg = row_gather_raw(gf, sperm, fold=True)
         dq = texel_histogram(
             sk,
             sg,

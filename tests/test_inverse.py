@@ -183,6 +183,27 @@ class TestTexelGradModes:
         # MXU-histogram accumulation (ops/texel_hist.py) == the scatter
         np.testing.assert_allclose(np.asarray(g_hist.bitmap_atlas), b, atol=1e-6, rtol=1e-4)
 
+        # LARGE-batch histogram branch (round 4): past the u16 gather fast
+        # zone the payload rides a 13-operand sort instead of 2-op sort +
+        # perm gather (every gather flavor collapses to ~25 ns/row at 2M-
+        # row tables — 1080p grad step 108.8 -> 72.0 ms).  Both sorts are
+        # stable, so the branches must agree exactly; force the big-batch
+        # branch by shrinking the gate.
+        import chess2rt_tpu.ops.fastgather as fg
+
+        old_rows = fg.U16_FAST_ROWS
+        try:
+            fg.U16_FAST_ROWS = 1  # every batch takes the 13-operand sort
+            g_hist_big = jax.grad(
+                loss_fn(dataclasses.replace(static, texel_grad_mode="histogram"))
+            )(packed)
+        finally:
+            fg.U16_FAST_ROWS = old_rows
+        np.testing.assert_allclose(
+            np.asarray(g_hist_big.bitmap_atlas), np.asarray(g_hist.bitmap_atlas),
+            atol=1e-7, rtol=1e-6,
+        )
+
         # FD check one well-hit texel
         idx = np.unravel_index(np.abs(a).argmax(), a.shape)
         eps = 1e-2
