@@ -2151,52 +2151,19 @@ def supports_gi(static: SceneStatic) -> bool:
     return all(ns.shader_kind == LAMBERT for ns in static.nodes)
 
 
-def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: bool = False):
-    """GI path tracer with the closest-hit + NEE-light-sum work done by the
-    fused want_hit kernel; BRDF (hemisphere) sampling, throughput and the
-    environment miss term stay in XLA — mirroring render/pipeline.trace_path
-    op for op (same jax.random stream, so outputs match the XLA path to
-    kernel-vs-XLA fp).
-
-    With static.chunk_pixels set below the frame size, the pixel batch
-    runs in lax.map slabs through a slab-width kernel, mirroring
-    render_frame's chunked XLA structure (incl. its per-slab key splits) —
-    memory-bounded GI frames keep the fused path instead of falling back
-    to the ~2x slower XLA pipeline (round-3 VERDICT item 5).
-
-    Returns fn(packed, key) -> [H, W, 3]."""
+def build_gi_tracer(static: SceneStatic, width: int, height: int,
+                    interpret: bool, n_lanes: int, K: int = 1):
+    """Kernel-backed trace_path twin for K path-slabs of ``n_lanes`` rays:
+    ``trace(packed, orig[K*n_lanes, 3], dir, keys[K, 2]) -> [K*n_lanes, 3]``
+    — closest-hit + NEE light sums in the fused want_hit kernel, BRDF
+    sampling in XLA with trace_path's exact jax.random stream per slab.
+    Factored out of build_gi_renderer so the mesh layer can plug it into
+    render_samples per shard (parallel/mesh.py)."""
     assert supports_gi(static)
-    from ..render import pipeline as P
     from . import shade as S
-
-    n = width * height
-    chunked = bool(static.chunk_pixels and static.chunk_pixels < n)
-    if chunked:
-        # slab width = chunk_pixels EXACTLY (not kernel-tile rounded like
-        # the deterministic paths): MC RNG draws are slab-shaped, so the
-        # slab boundaries must match the chunked XLA pipeline's for the
-        # streams to agree.  The kernel pads its own lanes to TILE_N.
-        C = static.chunk_pixels
-        S_slabs = -(-n // C)
-    else:
-        C, S_slabs = n, 1
-    # PATH BATCHING (round 3, measured a LOSS — default K=1): evaluating
-    # K paths per launch (lanes = K*n) with exactly-unrolled per-path RNG
-    # chains cuts launch count K-fold, but K=8 ran 77.4 vs 57.7 ms
-    # sequential (640x480 40pp, v5e): per-path dead-round cond-skips beat
-    # the launch amortization, since a batch runs bounce round r if ANY
-    # of its K paths still has alive lanes.  The machinery stays behind
-    # static.gi_path_batch for wider scenes/shapes.
-    if static.gi_path_batch:
-        K = static.gi_path_batch
-        assert static.paths_per_pixel % K == 0, (static.paths_per_pixel, K)
-    else:
-        K = 1
-    # every round traces caller rays (round 0's are the jittered MC camera
-    # rays generated in XLA), so only the ray-input kernel is needed; the
-    # diff wrapper makes GI fitting work through the fused path too
     from .pallas_grad import build_diff_round0
 
+    C = n_lanes
     kernR = build_diff_round0(static, width, height, interpret, n_rays=K * C, want_hit=True)
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
 
@@ -2283,6 +2250,56 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
             # skip all-dead rounds at runtime (forward-only path)
             carry = jax.lax.cond(carry[3].any(), bounce, lambda c: c, carry)
         return carry[1]
+
+    return trace_path_pallas
+
+
+def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: bool = False):
+    """GI path tracer with the closest-hit + NEE-light-sum work done by the
+    fused want_hit kernel; BRDF (hemisphere) sampling, throughput and the
+    environment miss term stay in XLA — mirroring render/pipeline.trace_path
+    op for op (same jax.random stream, so outputs match the XLA path to
+    kernel-vs-XLA fp).
+
+    With static.chunk_pixels set below the frame size, the pixel batch
+    runs in lax.map slabs through a slab-width kernel, mirroring
+    render_frame's chunked XLA structure (incl. its per-slab key splits) —
+    memory-bounded GI frames keep the fused path instead of falling back
+    to the ~2x slower XLA pipeline (round-3 VERDICT item 5).
+
+    Returns fn(packed, key) -> [H, W, 3]."""
+    assert supports_gi(static)
+    from ..render import pipeline as P
+    from . import shade as S
+
+    n = width * height
+    chunked = bool(static.chunk_pixels and static.chunk_pixels < n)
+    if chunked:
+        # slab width = chunk_pixels EXACTLY (not kernel-tile rounded like
+        # the deterministic paths): MC RNG draws are slab-shaped, so the
+        # slab boundaries must match the chunked XLA pipeline's for the
+        # streams to agree.  The kernel pads its own lanes to TILE_N.
+        C = static.chunk_pixels
+        S_slabs = -(-n // C)
+    else:
+        C, S_slabs = n, 1
+    # PATH BATCHING (round 3, measured a LOSS — default K=1): evaluating
+    # K paths per launch (lanes = K*n) with exactly-unrolled per-path RNG
+    # chains cuts launch count K-fold, but K=8 ran 77.4 vs 57.7 ms
+    # sequential (640x480 40pp, v5e): per-path dead-round cond-skips beat
+    # the launch amortization, since a batch runs bounce round r if ANY
+    # of its K paths still has alive lanes.  The machinery stays behind
+    # static.gi_path_batch for wider scenes/shapes.
+    if static.gi_path_batch:
+        K = static.gi_path_batch
+        assert static.paths_per_pixel % K == 0, (static.paths_per_pixel, K)
+    else:
+        K = 1
+    # every round traces caller rays (round 0's are the jittered MC camera
+    # rays generated in XLA), so only the ray-input kernel is needed; the
+    # diff wrapper makes GI fitting work through the fused path too
+    # (kernel + NEE + BRDF-sampling loop factored into build_gi_tracer)
+    trace_path_pallas = build_gi_tracer(static, width, height, interpret, C, K)
 
     def render(packed: ScenePacked, key=None):
         """Mirrors pipeline.render_samples' MC scan + _render_pixels AA."""

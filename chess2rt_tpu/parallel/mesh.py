@@ -87,7 +87,8 @@ def _frame_from_samples(flat, static: SceneStatic):
     return flat[:n].reshape(static.height, static.width, 3)
 
 
-def _sample_pixels(packed: ScenePacked, static: SceneStatic, xf, yf, key, mask=None, base=None):
+def _sample_pixels(packed: ScenePacked, static: SceneStatic, xf, yf, key, mask=None, base=None,
+                   trace_fn=None, gi_trace_fn=None):
     """Per-shard sampling incl. the AA supersample — identical math to the
     single-chip render_frame (render/pipeline.py).
 
@@ -106,14 +107,17 @@ def _sample_pixels(packed: ScenePacked, static: SceneStatic, xf, yf, key, mask=N
     renderer.d:194-213's bounded buckets under the mesh: a distributed 8K
     render keeps per-shard HBM bounded by the slab, round-3 VERDICT #2)."""
     frame = begin_frame(packed.camera, static.width / static.height)
-    img = base if base is not None else _flat_pass(packed, static, frame, xf, yf, key)
+    img = base if base is not None else _flat_pass(
+        packed, static, frame, xf, yf, key, trace_fn=trace_fn, gi_trace_fn=gi_trace_fn
+    )
     if static.aa_enabled:
         offsets = jnp.asarray(AA_KERNEL, dtype=xf.dtype)
 
         def aa_body(carry, off):
             i, acc = carry
             kk = jax.random.fold_in(key, i)
-            s = _flat_pass(packed, static, frame, xf + off[0], yf + off[1], kk)
+            s = _flat_pass(packed, static, frame, xf + off[0], yf + off[1], kk,
+                           trace_fn=trace_fn, gi_trace_fn=gi_trace_fn)
             return (i + 1, acc + s), None
 
         (_, acc), _ = jax.lax.scan(aa_body, (jnp.int32(1), img), offsets)
@@ -155,6 +159,60 @@ def _fused_shard_setup(static: SceneStatic, mesh: Mesh):
     return rows, C, n_pad
 
 
+def _fused_trace_fns(static: SceneStatic):
+    """Kernel-backed tracer overrides for the XLA per-shard sampler — the
+    MC (DoF/stereo) and GI modes under the mesh (round 4): render_samples
+    keeps its ray-gen and RNG streams byte-for-byte and only the tracer
+    swaps to the fused kernel, so fused-vs-XLA sharded MC frames differ by
+    kernel fp only.  Kernels are built lazily per ray-batch width (shard
+    width vs chunk-slab width) and cached.  Returns (trace_fn,
+    gi_trace_fn), each possibly None."""
+    if not static.use_pallas:
+        return None, None
+    if jax.default_backend() != "tpu" and not static.interpret_pallas:
+        return None, None
+    from ..ops import pallas_trace as PT
+
+    W, H, interp = static.width, static.height, static.interpret_pallas
+    trace_fn = gi_trace_fn = None
+    if not static.gi_enabled and PT.supports(static):
+        from ..ops.pallas_grad import build_diff_round0
+
+        cache = {}
+
+        def trace_fn(packed, o3, d3, st=None):
+            if o3.dtype != jnp.float32:  # f64 oracle-parity runs stay XLA
+                from ..render.pipeline import trace_whitted
+
+                return trace_whitted(packed, static, o3, d3, st)
+            n = int(o3.shape[0])
+            if n not in cache:
+                kern = build_diff_round0(static, W, H, interp, n_rays=n)
+                fin = PT.build_bounce_finisher(static, W, H, interp, n, is_slab=True)
+                cache[n] = (kern, fin)
+            kern, fin = cache[n]
+            o = kern(packed, o3, d3)
+            color, cont, atten, ro, rd = PT.combine_outputs(
+                packed, static, o, d3 if static.has_env else None
+            )
+            return fin(packed, color, cont, atten, ro, rd)
+
+    if static.gi_enabled and not static.dof and PT.supports_gi(static):
+        cache_gi = {}
+
+        def gi_trace_fn(packed, o3, d3, key):
+            if o3.dtype != jnp.float32:
+                from ..render.pipeline import trace_path
+
+                return trace_path(packed, static, o3, d3, key)
+            n = int(o3.shape[0])
+            if n not in cache_gi:
+                cache_gi[n] = PT.build_gi_tracer(static, W, H, interp, n)
+            return cache_gi[n](packed, o3, d3, jnp.stack([key]))
+
+    return trace_fn, gi_trace_fn
+
+
 def make_sharded_render_fn(static: SceneStatic, mesh: Mesh):
     """Compile ``fn(packed, key) -> [H, W, 3]`` with pixels sharded over the
     mesh (1-D "px" or 2-D (host, chip) — the flat ray batch tiles over ALL
@@ -162,17 +220,28 @@ def make_sharded_render_fn(static: SceneStatic, mesh: Mesh):
     Pallas flagship renderer when the scene supports it (f32 deterministic
     Whitted), the XLA wavefront otherwise (MC/GI modes, f64 parity runs)."""
     axes = _axes(mesh)
+    # kernel-backed tracer overrides for the MC/GI modes (None when the
+    # XLA tracer should stay)
+    tf, gtf = _fused_trace_fns(static)
+    # check_vma=False on every sampling shard_map: (a) pallas_call outputs
+    # carry no varying-mesh-axes info, and (b) the MC sample scans
+    # initialize zero carries that the vma checker types as replicated
+    # while the body output is varying (a pcast would be needed per scan
+    # init).  Replication correctness is pinned by the bit-identical /
+    # stream-identical sharded-vs-single-chip tests instead.
+    vma_kw = {"check_vma": False}
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(axes), P(axes), P()),
         out_specs=P(axes),
+        **vma_kw,
     )
     def shard_render(packed: ScenePacked, xf, yf, key):
         # decorrelate stochastic sampling (DoF/GI jitter) across shards
         key = jax.random.fold_in(key, _linear_index(axes))
-        return _sample_pixels(packed, static, xf, yf, key)
+        return _sample_pixels(packed, static, xf, yf, key, trace_fn=tf, gi_trace_fn=gtf)
 
     adaptive = static.aa_enabled and static.aa_adaptive
     if adaptive:
@@ -185,20 +254,24 @@ def make_sharded_render_fn(static: SceneStatic, mesh: Mesh):
             mesh=mesh,
             in_specs=(P(), P(axes), P(axes), P()),
             out_specs=P(axes),
+            **vma_kw,
         )
         def shard_base(packed: ScenePacked, xf, yf, key):
             key = jax.random.fold_in(key, _linear_index(axes))
-            return _sample_pixels(packed, static_base, xf, yf, key)
+            return _sample_pixels(packed, static_base, xf, yf, key,
+                                  trace_fn=tf, gi_trace_fn=gtf)
 
         @partial(
             jax.shard_map,
             mesh=mesh,
             in_specs=(P(), P(axes), P(axes), P(axes), P(axes, None), P()),
             out_specs=P(axes),
+            **vma_kw,
         )
         def shard_taps(packed: ScenePacked, xf, yf, mask, base, key):
             key = jax.random.fold_in(key, _linear_index(axes))
-            return _sample_pixels(packed, static, xf, yf, key, mask=mask, base=base)
+            return _sample_pixels(packed, static, xf, yf, key, mask=mask, base=base,
+                                  trace_fn=tf, gi_trace_fn=gtf)
 
     n_shards = mesh.devices.size
 
@@ -330,11 +403,14 @@ def make_sharded_value_and_grad(static: SceneStatic, mesh: Mesh):
                 lb = jnp.asarray(_linear_index(axes) * C, jnp.float32)
                 return rows.tap(packed, lb, jnp.zeros(2, jnp.float32))
 
+    tf, gtf = _fused_trace_fns(static)
+
     def shard_loss(packed, xf, yf, target, weight, mask, key):
         # adaptiveAA: the (stop-gradient) mask comes from a separate
         # forward base pass; base renders IN-trace so unflagged pixels
         # keep their gradient path
-        img = _sample_pixels(packed, static, xf, yf, key, mask=mask if adaptive else None)
+        img = _sample_pixels(packed, static, xf, yf, key, mask=mask if adaptive else None,
+                             trace_fn=tf, gi_trace_fn=gtf)
         # weight zeroes the padding lanes so they don't pollute the loss
         return ((img - target) ** 2 * weight[..., None]).sum() / (static.width * static.height * 3)
 
@@ -374,12 +450,14 @@ def make_sharded_value_and_grad(static: SceneStatic, mesh: Mesh):
             mesh=mesh,
             in_specs=(P(), P(axes), P(axes), P()),
             out_specs=P(axes),
+            check_vma=False,  # see make_sharded_render_fn's vma_kw note
         )
         def shard_base(packed: ScenePacked, xf, yf, key):
             # same per-shard key fold as shard_step, so the mask comes from
             # the very base sample the loss recomputes in-trace
             key = jax.random.fold_in(key, _linear_index(axes))
-            return _sample_pixels(packed, static_base, xf, yf, key)
+            return _sample_pixels(packed, static_base, xf, yf, key,
+                                  trace_fn=tf, gi_trace_fn=gtf)
 
     @jax.jit
     def fn(packed: ScenePacked, target, key):

@@ -390,8 +390,15 @@ def trace_path(packed: ScenePacked, static: SceneStatic, orig, dir, key):
 # --------------------------------------------------------------------------
 
 
-def render_samples(packed: ScenePacked, static: SceneStatic, frame, x, y, key, dx=1.0, dy=1.0, stats=None):
-    """renderSample for a batch of (fractional) pixel coords -> [N, 3]."""
+def render_samples(packed: ScenePacked, static: SceneStatic, frame, x, y, key, dx=1.0, dy=1.0,
+                   stats=None, trace_fn=None, gi_trace_fn=None):
+    """renderSample for a batch of (fractional) pixel coords -> [N, 3].
+
+    ``trace_fn(packed, orig, dir)`` / ``gi_trace_fn(packed, orig, dir,
+    key)`` override the Whitted / GI tracer while keeping THIS function's
+    ray-gen and RNG streams byte-for-byte — the fused Pallas kernels plug
+    in per mesh shard this way (parallel/mesh.py), so fused-vs-XLA
+    sharded MC renders differ only by kernel fp."""
     cam = packed.camera
     W, H = float(static.width), float(static.height)
 
@@ -404,15 +411,18 @@ def render_samples(packed: ScenePacked, static: SceneStatic, frame, x, y, key, d
         # mono), then the default path where stereo applies.
         if static.gi_enabled and not static.dof:
             o, d = one_ray(xx, yy, 0.0, k)
+            if gi_trace_fn is not None:
+                return gi_trace_fn(packed, o, d, k)
             return trace_path(packed, static, o, d, k)
+        whitted = trace_fn or (lambda p, o, d, st=None: trace_whitted(p, static, o, d, st))
         if static.stereo:
             ol, dl = one_ray(xx, yy, -1.0, k)
             orr, drr = one_ray(xx, yy, +1.0, k)
-            left = trace_whitted(packed, static, ol, dl, st)
-            right = trace_whitted(packed, static, orr, drr, st)
+            left = whitted(packed, ol, dl, st)
+            right = whitted(packed, orr, drr, st)
             return _combine_stereo(left, right)
         o, d = one_ray(xx, yy, 0.0, k)
-        return trace_whitted(packed, static, o, d, st)
+        return whitted(packed, o, d, st)
 
     if static.dof or static.gi_enabled:
         # Monte-Carlo sample loop as a lax.scan with an accumulator carry:
@@ -480,14 +490,16 @@ def aa_detect(img):
     return jax.lax.stop_gradient(needs)
 
 
-def _flat_pass(packed: ScenePacked, static: SceneStatic, frame, xf, yf, key):
+def _flat_pass(packed: ScenePacked, static: SceneStatic, frame, xf, yf, key,
+               trace_fn=None, gi_trace_fn=None):
     """ONE render_samples pass over the flat pixel batch, honoring the
     chunk_pixels memory knob (per-slab key split, like render_frame's
     chunked body)."""
     n = xf.size
     c = static.chunk_pixels
     if not c or c >= n:
-        return render_samples(packed, static, frame, xf, yf, key)
+        return render_samples(packed, static, frame, xf, yf, key,
+                              trace_fn=trace_fn, gi_trace_fn=gi_trace_fn)
     pad = (-n) % c
     dt = xf.dtype
     xs = jnp.concatenate([xf, jnp.zeros(pad, dtype=dt)]).reshape(-1, c)
@@ -496,7 +508,8 @@ def _flat_pass(packed: ScenePacked, static: SceneStatic, frame, xf, yf, key):
 
     def body(args):
         cx, cy, ck = args
-        return render_samples(packed, static, frame, cx, cy, ck)
+        return render_samples(packed, static, frame, cx, cy, ck,
+                              trace_fn=trace_fn, gi_trace_fn=gi_trace_fn)
 
     out = jax.lax.map(body, (xs, ys, keys))
     return out.reshape(-1, 3)[:n]
