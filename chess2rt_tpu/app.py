@@ -224,16 +224,27 @@ def main(argv=None) -> int:
             # so route it to the CPU backend.
             jax.config.update("jax_platforms", "cpu")
         key = jax.random.PRNGKey(args.seed)
+        # production f32 renders take the fused Pallas path whenever the
+        # scene supports it (render_frame's dispatch gates on TPU backend
+        # + kernel coverage and falls back to the XLA wavefront otherwise;
+        # f64 oracle-parity renders stay pure XLA)
+        import dataclasses as _dc
+
+        fused_fix = (
+            (lambda st: _dc.replace(st, use_pallas=True))
+            if args.dtype == "f32"
+            else (lambda st: st)
+        )
         if args.distributed:
             from .models.packed import pack_scene
             from .parallel import make_mesh, render_frame_distributed
 
             packed, static = pack_scene(scene, dtype=dtype)
-            img = render_frame_distributed(packed, static, make_mesh(), key)
+            img = render_frame_distributed(packed, fused_fix(static), make_mesh(), key)
         else:
             from .render.pipeline import render_scene_jax
 
-            img = render_scene_jax(scene, dtype=dtype, key=key)
+            img = render_scene_jax(scene, dtype=dtype, key=key, fix=fused_fix)
         import numpy as np
 
         img = np.asarray(jax.block_until_ready(img))

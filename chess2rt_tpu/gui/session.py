@@ -85,6 +85,7 @@ class InteractiveSession:
         import dataclasses
 
         import jax
+        import jax.numpy as jnp
 
         from ..models.packed import pack_scene
         from ..render.pipeline import render_frame
@@ -92,6 +93,10 @@ class InteractiveSession:
         scale = self.preview_scale if preview else 1
         key = (scale,)
         packed, static = pack_scene(self.scene, dtype=self.dtype)
+        if static.nodes and self.dtype != jnp.float64:
+            # interactive sessions ride the fused kernel when supported
+            # (render_frame falls back to XLA off-TPU / uncovered scenes)
+            static = dataclasses.replace(static, use_pallas=True)
         if preview:
             # the prepass role (renderer.d:110-127): coarse low-res render
             static = dataclasses.replace(

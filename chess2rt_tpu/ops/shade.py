@@ -262,6 +262,14 @@ def _qgf_fwd(mode, table, key):
     return row_gather_raw(table, key, fold=True), (key, table[:, :0])
 
 
+def _payload_sort(kf, gf):
+    """Stable 1+C-operand sort of cotangent rows by texel key: returns
+    (sorted keys, sorted [n, C] payload)."""
+    ops = (kf,) + tuple(gf[:, c] for c in range(gf.shape[-1]))
+    s = jax.lax.sort(ops, num_keys=1)
+    return s[0], jnp.stack(s[1:], axis=-1)
+
+
 def _qgf_bwd(mode, res, g):
     key, proto = res
     n_rows = proto.shape[0]
@@ -290,10 +298,7 @@ def _qgf_bwd(mode, res, g):
         from .texel_hist import texel_histogram
 
         if flat_n > U16_FAST_ROWS:
-            ops = (kf,) + tuple(gf[:, c] for c in range(C))
-            s = jax.lax.sort(ops, num_keys=1)
-            sk = s[0]
-            sg = jnp.stack(s[1:], axis=-1)
+            sk, sg = _payload_sort(kf, gf)
         else:
             perm = jax.lax.iota(jnp.int32, flat_n)
             sk, sperm = jax.lax.sort((kf, perm), num_keys=1)
@@ -310,10 +315,7 @@ def _qgf_bwd(mode, res, g):
         # 2-operand sort followed by a [N, 12] permutation gather measured
         # SLOWER in the full grad step (the permutation gather is the
         # per-ray-gather cost class this path exists to avoid)
-        ops = (kf,) + tuple(gf[:, c] for c in range(C))
-        s = jax.lax.sort(ops, num_keys=1)
-        sk = s[0]
-        sg = jnp.stack(s[1:], axis=-1)
+        sk, sg = _payload_sort(kf, gf)
         dq = (
             jnp.zeros((n_rows, C), g.dtype)
             .at[sk]

@@ -121,12 +121,17 @@ def intersect_plane(geom: T.Plane, orig, dir, rec: HitRecord):
     """geometry.d:30-59."""
     oy, dy = orig[:, 1], dir[:, 1]
     miss = ((oy > geom.y) & (dy > -1e-9)) | ((oy < geom.y) & (dy < 1e-9))
-    # non-miss lanes have |dy| >= 1e-9 by construction (oy == y exactly is
-    # always miss), so the guard only touches dead lanes — same
-    # guarded-reciprocal pattern as the device path (NaN-free invariant)
-    safe_dy = np.where(miss, 1.0, -dy)
+    # Non-miss lanes have |dy| >= 1e-9 by construction EXCEPT the
+    # degenerate origin-exactly-on-plane case (oy == y passes neither
+    # miss branch): with dy == 0 the reference computes 0/0 = NaN whose
+    # comparisons all fail => no hit (with dy != 0 it hits at mult = 0,
+    # which the guarded division preserves).  Guard the division (the
+    # NaN-free invariant, same pattern as the device path) and mask the
+    # 0/0 lanes out explicitly to keep the identical no-hit outcome.
+    deg = ~miss & (dy == 0)
+    safe_dy = np.where(miss | deg, 1.0, -dy)
     mult = (oy - geom.y) / safe_dy
-    ok = ~miss & (mult <= rec.dist)
+    ok = ~miss & ~deg & (mult <= rec.dist)
     p = orig + dir * mult[:, None]
     ok &= (np.abs(p[:, 0]) <= geom.limit) & (np.abs(p[:, 2]) <= geom.limit)
     n = orig.shape[0]

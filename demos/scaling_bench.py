@@ -124,20 +124,29 @@ def main():
         )
         print(json.dumps(rows[-1]))
     if args.out:
-        import platform
+        # MERGE into the artifact so repeated runs (forward, then --grad)
+        # accumulate modes instead of clobbering each other — the
+        # checked-in SCALING_cpu.json is reproducible by exactly:
+        #   python demos/scaling_bench.py --cpu --out SCALING_cpu.json
+        #   python demos/scaling_bench.py --cpu --grad --out SCALING_cpu.json
+        import os
 
-        payload = {
-            "platform": jax.default_backend(),
-            "host": platform.node(),
-            "size": args.size,
-            "note": (
+        payload = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                payload = json.load(f)
+        payload.update(
+            platform=jax.default_backend(),
+            size=args.size,
+            note=(
                 "virtual CPU mesh methodology run — devices share one socket, "
                 "so efficiency bounds harness+collective overhead, not ICI"
             )
             if args.cpu
             else "",
-            "rows": rows,
-        }
+        )
+        modes = payload.setdefault("modes", {})
+        modes[rows[0]["mode"]] = rows
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=1)
     return 0

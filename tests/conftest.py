@@ -89,6 +89,22 @@ _SLOW_NODES = {
 
 
 def pytest_collection_modifyitems(config, items):
+    seen = set()
+    files = set()
     for item in items:
-        if item.nodeid.split("[")[0] in _SLOW_NODES:
+        node = item.nodeid.split("[")[0]
+        files.add(node.split("::")[0])
+        if node in _SLOW_NODES:
+            seen.add(node)
             item.add_marker(pytest.mark.slow)
+    # a renamed/moved test must not silently drop out of the slow tier
+    # (it would blow the fast-tier CI budget unnoticed).  Only enforced
+    # when collection was NOT narrowed (no node ids / -k), and only for
+    # files that were collected — file- and directory-scoped runs stay
+    # usable.
+    narrowed = bool(getattr(config.option, "keyword", "")) or any(
+        "::" in str(a) for a in config.args
+    )
+    if not narrowed:
+        stale = {n for n in _SLOW_NODES - seen if n.split("::")[0] in files}
+        assert not stale, f"stale _SLOW_NODES entries (renamed tests?): {sorted(stale)}"

@@ -210,6 +210,25 @@ class TestShardedFused:
         self._assert_frames_match(img, ref, atol=1e-5)
 
     @pytest.mark.slow
+    def test_adaptive_aa_grads_match_single_chip_fused(self, fused, mesh):
+        """The fused ADAPTIVE grad plumbing (shard_loss_fused with a
+        stop-gradient mask from the sharded fused base pass + in-trace
+        base re-render) vs the single-chip fused adaptive VJP."""
+        packed, static = fused
+        st = dataclasses.replace(static, aa_adaptive=True)
+        key = jax.random.PRNGKey(0)
+        target = jnp.zeros((static.height, static.width, 3), jnp.float32)
+        loss, g = make_sharded_value_and_grad(st, mesh)(packed, target, key)
+        l1, g1 = jax.value_and_grad(
+            lambda p: ((render_frame(p, st, key) - target) ** 2).mean()
+        )(packed)
+        np.testing.assert_allclose(float(loss), float(l1), rtol=1e-5)
+        for f in ("light_power", "plane_y", "mat_color", "sphere_center"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g, f)), np.asarray(getattr(g1, f)), rtol=1e-4, atol=1e-10
+            )
+
+    @pytest.mark.slow
     def test_grads_match_single_chip_fused(self, fused, mesh):
         """Sharded fused inverse rendering: per-shard custom-VJP backward +
         psum must match the single-chip fused value_and_grad."""
