@@ -28,6 +28,20 @@ import pytest
 REFERENCE_DATA = pathlib.Path(os.environ.get("CHESS2RT_DATA_DIR", "/root/reference/data"))
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable caches after each test module.
+
+    The slow tier compiles many HUGE interpret-mode fused-kernel programs
+    (whole flagship pipelines per mesh shard); by the tail of a full-suite
+    run the accumulated executables pushed the XLA CPU compiler into
+    SIGABRT (observed twice in test_parallel, while the same tests pass in
+    isolation).  Per-module cache clearing keeps the process flat; within
+    a module, compile reuse is unaffected."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def data_dir() -> pathlib.Path:
     if not REFERENCE_DATA.exists():
