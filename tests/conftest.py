@@ -28,18 +28,27 @@ import pytest
 REFERENCE_DATA = pathlib.Path(os.environ.get("CHESS2RT_DATA_DIR", "/root/reference/data"))
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
-    """Drop compiled-executable caches after each test module.
+# modules that compile HUGE interpret-mode fused-kernel programs (whole
+# flagship pipelines, per-shard meshes); everything else is cheap enough
+# that cross-module compile reuse is worth keeping (clearing after EVERY
+# module measured +2 min on the fast tier)
+_HEAVY_MODULES = {
+    "test_pallas", "test_pallas_grad", "test_parallel", "test_inverse",
+    "test_gi", "test_fuzz", "test_bump", "test_parity",
+}
 
-    The slow tier compiles many HUGE interpret-mode fused-kernel programs
-    (whole flagship pipelines per mesh shard); by the tail of a full-suite
-    run the accumulated executables pushed the XLA CPU compiler into
-    SIGABRT (observed twice in test_parallel, while the same tests pass in
-    isolation).  Per-module cache clearing keeps the process flat; within
-    a module, compile reuse is unaffected."""
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules(request):
+    """Drop compiled-executable caches after each HEAVY test module.
+
+    By the tail of a full-suite run the accumulated executables pushed the
+    XLA CPU compiler into SIGABRT (observed twice in test_parallel, while
+    the same tests pass in isolation).  Clearing after the heavy modules
+    keeps the process flat; within a module, compile reuse is unaffected."""
     yield
-    jax.clear_caches()
+    if request.module.__name__.rsplit(".", 1)[-1] in _HEAVY_MODULES:
+        jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
