@@ -163,6 +163,14 @@ class SceneStatic:
     # forward-only speed switch: early-exit while_loop over wavefront rounds
     # (not reverse-differentiable; see trace_whitted)
     fast_forward: bool = False
+    # opt-in compensated (df32 two-float, ~f64-emulated) camera ray-gen for
+    # the f32 XLA pipeline: corners + per-pixel interpolation carry ~48-bit
+    # significands and the direction is rounded to f32 last, killing the
+    # 1-2 ulp corner errors the 1/dir.y horizon amplification (~700x on
+    # lecture5) turns into whole-texel UV errors (ops/camera._begin_frame_df,
+    # round-4 VERDICT item 5).  Default off: the default path's perf and
+    # bit-exact outputs are unchanged.
+    compensated_raygen: bool = False
     # bound peak device memory: render the pixel batch in lax.map slabs of
     # this many rays (None = whole frame at once); honored by the XLA
     # pipeline (render_frame), by the fused Pallas renderer in the
@@ -508,6 +516,7 @@ def pack_scene(scene: T.Scene, dtype=jnp.float32) -> Tuple[ScenePacked, SceneSta
         max_trace_depth=s.maxTraceDepth,
         aa_enabled=s.AAEnabled,
         aa_adaptive=getattr(s, "adaptiveAA", False),
+        compensated_raygen=getattr(s, "compensatedRayGen", False),
         dof=cam.dof,
         dof_samples=cam.numSamples,
         gi_enabled=s.GIEnabled,

@@ -59,6 +59,10 @@ class GlobalSettings:
     # tooDifferent's default 0.1 threshold, like the reference
     # (AAThreshold is never forwarded, renderer.d:172).
     adaptiveAA: bool = False
+    # EXTENSION (off by default): compensated (df32 two-float, ~f64
+    # emulated) camera ray-gen on the f32 XLA pipeline — closes the f32
+    # horizon-UV tail vs the f64 oracle (ops/camera._begin_frame_df)
+    compensatedRayGen: bool = False
 
     def adjust_frame_size(self) -> None:
         """Round the frame up to a bucket multiple (global_settings.d:38-45).

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.packed import CameraPacked
 from ..utils import vec
@@ -20,8 +21,82 @@ def _norm(v):
     return v / jnp.sqrt((v * v).sum(-1, keepdims=True))
 
 
-def begin_frame(cam: CameraPacked, aspect: float):
-    """Screen corners + basis from camera params (camera.d:77-117)."""
+def _begin_frame_df(cam: CameraPacked, aspect: float):
+    """Screen corners in df32 (two-float ~f64) precision.
+
+    Reproduces beginFrame's f64 corner math (camera.d:77-117) with
+    emulated double-float arithmetic (ops/df32.py): angles, tan(fov/2),
+    the 3-rotation product and the corner row-vector multiplies all carry
+    ~48-bit significands, so the per-ray direction rounded back to f32 is
+    correctly rounded — the ~1-2 ulp corner errors that the 1/dir.y
+    horizon amplification turns into whole-texel UV mistakes are gone
+    (round-4 VERDICT item 5; opt-in via SceneStatic.compensated_raygen).
+
+    Returns {"ul": [(hi,lo)]*3, "dx": ..., "dy": ...} where dx = ur-ul,
+    dy = dl-ul are the interpolation deltas, each component a df32 pair
+    of f32 scalars.
+    """
+    from . import df32 as df
+
+    rad = np.pi / 180.0  # host f64; split exactly into df32 below
+    fov_half = df.mul_f32(df.const(rad / 2.0), cam.fov)
+    wanted = df.tan(fov_half)
+    # x = -aspect, y = 1 (camera.d:88-93); aspect is a host f64
+    aspect_d = df.const(float(aspect))
+    len_xy = df.sqrt(df.add(df.mul(aspect_d, aspect_d), df.const(1.0)))
+    scaling = df.div(wanted, len_xy)
+    xs = df.neg(df.mul(aspect_d, scaling))
+    ys = scaling
+    one = df.const(1.0)
+
+    def rot_axis(i, j, angle):
+        s, c = df.sincos(df.mul_f32(df.const(rad), angle))
+        zero, uno = df.const(0.0), df.const(1.0)
+        m = [[uno if r == col else zero for col in range(3)] for r in range(3)]
+        m[i][i] = c
+        m[i][j] = df.neg(s)
+        m[j][i] = s
+        m[j][j] = c
+        return m
+
+    def matmul(a, b):
+        return [
+            [
+                df.add(df.add(df.mul(a[r][0], b[0][col]), df.mul(a[r][1], b[1][col])),
+                       df.mul(a[r][2], b[2][col]))
+                for col in range(3)
+            ]
+            for r in range(3)
+        ]
+
+    # rotZ(roll) @ rotX(pitch) @ rotY(yaw), row-vector convention
+    rot = matmul(matmul(rot_axis(0, 1, cam.roll), rot_axis(1, 2, cam.pitch)),
+                 rot_axis(2, 0, cam.yaw))
+
+    def mulr(v):  # row vector times matrix: out_j = sum_i v_i rot[i][j]
+        return [
+            df.add(df.add(df.mul(v[0], rot[0][j]), df.mul(v[1], rot[1][j])),
+                   df.mul(v[2], rot[2][j]))
+            for j in range(3)
+        ]
+
+    ul = mulr([xs, ys, one])
+    ur = mulr([df.neg(xs), ys, one])
+    dl = mulr([xs, df.neg(ys), one])
+    return {
+        "ul": ul,
+        "dx": [df.sub(ur[j], ul[j]) for j in range(3)],
+        "dy": [df.sub(dl[j], ul[j]) for j in range(3)],
+    }
+
+
+def begin_frame(cam: CameraPacked, aspect: float, compensated: bool = False):
+    """Screen corners + basis from camera params (camera.d:77-117).
+
+    ``compensated=True`` additionally attaches df32 (two-float) corner
+    pairs under key "df"; ``screen_rays`` then interpolates those and
+    rounds the direction to f32 last (see _begin_frame_df).
+    """
     dt = cam.pos.dtype
     rad = jnp.asarray(jnp.pi / 180.0, dt)
     x = -aspect
@@ -43,7 +118,8 @@ def begin_frame(cam: CameraPacked, aspect: float):
     ul = mulr([xs, ys, one])
     ur = mulr([-xs, ys, one])
     dl = mulr([xs, -ys, one])
-    return {
+    out = {} if not compensated else {"df": _begin_frame_df(cam, aspect)}
+    out.update({
         # *_rel corners are pos-FREE: the reference adds camera.pos here and
         # subtracts it again per ray (camera.d:105-147).  In f32 that round
         # trip cancels catastrophically (corner.y = 165.0196 keeps only
@@ -63,7 +139,8 @@ def begin_frame(cam: CameraPacked, aspect: float):
         "up_dir": rot[1],
         "front_dir": rot[2],
         "pos": cam.pos,
-    }
+    })
+    return out
 
 
 def screen_rays(
@@ -81,14 +158,36 @@ def screen_rays(
     draw here would not (adaptive-AA DoF compaction)."""
     fx = (x / width)[..., None]
     fy = (y / height)[..., None]
-    # interpolate pos-free corners (see begin_frame): dir never touches the
-    # large camera position, so grazing rays keep full relative precision
-    target_rel = (
-        frame["up_left_rel"]
-        + (frame["up_right_rel"] - frame["up_left_rel"]) * fx
-        + (frame["down_left_rel"] - frame["up_left_rel"]) * fy
-    )
-    dir = _norm(target_rel)
+    if "df" in frame and not dof:
+        # compensated (df32) interpolation: corners, pixel fractions and
+        # the normalize all carry ~48-bit significands; dir is rounded to
+        # f32 LAST, so it is correctly rounded per component (the opt-in
+        # compensated_raygen path — see _begin_frame_df)
+        from . import df32 as dfm
+
+        c = frame["df"]
+        fx_d = dfm.div((x, jnp.zeros_like(x)), dfm.const(float(width), like=x))
+        fy_d = dfm.div((y, jnp.zeros_like(y)), dfm.const(float(height), like=y))
+        t = [
+            dfm.add(c["ul"][j],
+                    dfm.add(dfm.mul(c["dx"][j], fx_d), dfm.mul(c["dy"][j], fy_d)))
+            for j in range(3)
+        ]
+        n2 = dfm.add(dfm.add(dfm.mul(t[0], t[0]), dfm.mul(t[1], t[1])),
+                     dfm.mul(t[2], t[2]))
+        ln = dfm.sqrt(n2)
+        dir = jnp.stack([dfm.to_f32(dfm.div(t[j], ln)) for j in range(3)], axis=-1)
+        target_rel = jnp.stack([dfm.to_f32(t[j]) for j in range(3)], axis=-1)
+    else:
+        # interpolate pos-free corners (see begin_frame): dir never touches
+        # the large camera position, so grazing rays keep full relative
+        # precision
+        target_rel = (
+            frame["up_left_rel"]
+            + (frame["up_right_rel"] - frame["up_left_rel"]) * fx
+            + (frame["down_left_rel"] - frame["up_left_rel"]) * fy
+        )
+        dir = _norm(target_rel)
     stereo_off = frame["right_dir"] * (stereo_offset * cam.stereo_separation) if stereo_offset else 0.0
     if not dof:
         orig = jnp.broadcast_to(frame["pos"], target_rel.shape)

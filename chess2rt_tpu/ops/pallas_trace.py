@@ -93,6 +93,8 @@ def _supports_scene(static: SceneStatic) -> bool:
     sampling mode (build_round0_kernel's own precondition)."""
     if not static.nodes:
         return False  # nothing to scan; the XLA path handles empty scenes
+    if static.compensated_raygen:
+        return False  # df32 ray-gen is an XLA-path opt-in (ops/camera.py)
     if static.has_bump:
         return False  # bump-map extension: XLA path carries tangent frames
     for ns in static.nodes:
@@ -2148,6 +2150,8 @@ def supports_gi(static: SceneStatic) -> bool:
         return False
     if not static.nodes:
         return False
+    if static.compensated_raygen:
+        return False  # df32 ray-gen is an XLA-path opt-in (ops/camera.py)
     return all(ns.shader_kind == LAMBERT for ns in static.nodes)
 
 

@@ -166,8 +166,7 @@ def intersect_sphere(geom: T.Sphere, orig, dir, rec: HitRecord):
     normal = vec.normalize(np.where(ok[:, None], p - center, dir))  # avoid 0/0 off-mask
     angle = np.arctan2(p[:, 2] - center[2], p[:, 0] - center[0])
     u = (np.pi + angle) / (2 * np.pi)
-    with np.errstate(invalid="ignore"):
-        v = 1.0 - (np.pi / 2 + np.arcsin(np.clip((p[:, 1] - center[1]) / geom.R, -1, 1))) / np.pi
+    v = 1.0 - (np.pi / 2 + np.arcsin(np.clip((p[:, 1] - center[1]) / geom.R, -1, 1))) / np.pi
     dndx = np.stack([np.cos(angle + np.pi / 2), np.zeros_like(angle), np.sin(angle + np.pi / 2)], axis=-1)
     dndy = vec.cross(dndx, normal)
     rec.update_where(ok, p=p, dist=sol, normal=normal, dndx=dndx, dndy=dndy, u=u, v=v)
@@ -367,13 +366,10 @@ def intersect_geometry(geom: T.Geometry, orig, dir, rec: HitRecord):
 def intersect_node(node: T.Node, orig, dir, rec: HitRecord):
     """Node.intersect with the dist-rescaling algebra (node.d:23-68).
 
-    Off-mask lanes routinely divide by zero / normalize zero vectors; their
-    results are discarded by the masks, so warnings are suppressed."""
-    with np.errstate(invalid="ignore", divide="ignore"):
-        return _intersect_node_impl(node, orig, dir, rec)
-
-
-def _intersect_node_impl(node: T.Node, orig, dir, rec: HitRecord):
+    Off-mask lanes produce zero vectors (e.g. `sub.normal` on rays the
+    geometry missed); the normalizes below use the guarded form so those
+    discarded lanes stay finite — the same NaN-free-masked-lanes invariant
+    the device path enforces (no errstate suppression anywhere)."""
     tr = node.transform
     co = vec.mul_vm(orig - tr.offset, tr.inverse)
     cd = vec.mul_vm(dir, tr.inverse)
@@ -388,9 +384,9 @@ def _intersect_node_impl(node: T.Node, orig, dir, rec: HitRecord):
         ok,
         p=vec.mul_vm(sub.p, tr.matrix) + tr.offset,
         dist=sub.dist / dir_len,  # (5) canonic -> world
-        normal=vec.normalize(vec.mul_vm(sub.normal, tr.transposed_inverse)),
-        dndx=vec.normalize(vec.mul_vm(sub.dndx, tr.matrix)),
-        dndy=vec.normalize(vec.mul_vm(sub.dndy, tr.matrix)),
+        normal=vec.normalize_guarded(vec.mul_vm(sub.normal, tr.transposed_inverse)),
+        dndx=vec.normalize_guarded(vec.mul_vm(sub.dndx, tr.matrix)),
+        dndy=vec.normalize_guarded(vec.mul_vm(sub.dndy, tr.matrix)),
         u=sub.u,
         v=sub.v,
     )

@@ -574,7 +574,7 @@ def render_frame(packed: ScenePacked, static: SceneStatic, key=None):
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=dt), jnp.arange(W, dtype=dt), indexing="ij")
     xf = xs.reshape(-1)
     yf = ys.reshape(-1)
-    frame = begin_frame(packed.camera, W / H)
+    frame = begin_frame(packed.camera, W / H, compensated=static.compensated_raygen)
 
     if static.aa_enabled and static.aa_adaptive:
         # adaptiveAA extension: pass-2 base sample, the reference's

@@ -192,6 +192,7 @@ def _load_settings(node: DscNode, ctx: LoadContext) -> T.GlobalSettings:
     s.AAEnabled = g(node, "AAEnabled", s.AAEnabled, bool)
     s.AAThreshold = g(node, "AAThreshold", s.AAThreshold, float)
     s.adaptiveAA = g(node, "adaptiveAA", s.adaptiveAA, bool)  # extension
+    s.compensatedRayGen = g(node, "compensatedRayGen", s.compensatedRayGen, bool)  # extension
     s.maxTraceDepth = g(node, "maxTraceDepth", s.maxTraceDepth, int)
     s.pathsPerPixel = g(node, "pathsPerPixel", s.pathsPerPixel, int)
     s.ambientLightColor = ctx.get_vec3(node, "ambientLightColor", s.ambientLightColor)

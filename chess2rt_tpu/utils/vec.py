@@ -37,6 +37,19 @@ def normalize(v):
     return v / length(v)[..., None]
 
 
+def normalize_guarded(v):
+    """normalize, but zero-length rows pass through unchanged (as zeros).
+
+    The guarded-reciprocal pattern for masked/dead lanes (CLAUDE.md
+    invariant: masked lanes must stay NaN-free).  Bit-identical to
+    `normalize` on every row with |v| > 0 — the guard only replaces the
+    0/0 = NaN rows, whose results callers discard via their masks.
+    """
+    xp = _xp(v)
+    l = length(v)
+    return v / xp.where(l > 0.0, l, 1.0)[..., None]
+
+
 def cross(a, b):
     return _xp(a).stack(
         [
