@@ -52,6 +52,99 @@ def build(width=WIDTH, height=HEIGHT):
     return pack_scene(sc, dtype=jnp.float32)
 
 
+def build_gi(width, height, paths=40):
+    """The BASELINE GI config: lecture4 + far bounce wall, NEE extension
+    (gi_point_light_direct), depth 5 (demos/gi_probe.py scene)."""
+    import dataclasses
+
+    from chess2rt_tpu.models import types as T
+    from chess2rt_tpu.models.packed import pack_scene
+    from chess2rt_tpu.scene.loader import parse_scene_from_file
+
+    sc = parse_scene_from_file("/root/reference/data/lecture4.sdl")
+    sc.settings.frameWidth, sc.settings.frameHeight = width, height
+    sc.camera.set_frame_size(width, height)
+    sc.settings.AAEnabled = False
+    sc.settings.GIEnabled = True
+    sc.settings.maxTraceDepth = 5
+    sc.settings.pathsPerPixel = paths
+    sc.nodes.append(
+        T.Node(
+            name="wall",
+            geometry=T.Sphere(name="w", center=(60, 80, 330), R=50.0),
+            shader=T.Lambert(name="white", color=(0.8, 0.8, 0.8)),
+        )
+    )
+    sc.geometries.append(sc.nodes[-1].geometry)
+    sc.shaders.append(sc.nodes[-1].shader)
+    packed, static = pack_scene(sc, dtype=jnp.float32)
+    return packed, dataclasses.replace(static, gi_point_light_direct=True)
+
+
+def main_grad_gi(w=640, h=480, steps_per_call=4, paths=40):
+    """GI grad benchmark (round-4 VERDICT item 2): a full value_and_grad
+    step through the PATH-TRACED pipeline (NEE on, depth 5, 40 paths/px)
+    on the fused want_hit GI renderer.  Key-jittered camera per step (the
+    GI pipeline consumes its key anyway, so LICM can't hoist the body).
+
+    Prints one JSON line: {"metric": "gi_grad_paths_per_sec", ...}."""
+    import dataclasses
+
+    from chess2rt_tpu.render.pipeline import render_frame
+
+    packed, static = build_gi(w, h, paths)
+    static = dataclasses.replace(static, use_pallas=True)
+    key = jax.random.PRNGKey(0)
+    target = jnp.zeros((h, w, 3), dtype=jnp.float32)
+
+    def loss(p, k):
+        return ((render_frame(p, static, k) - target) ** 2).mean()
+
+    STEPS_PER_CALL = steps_per_call
+
+    def many(p, keys):
+        def body(acc, k):
+            jit_pos = (jax.random.uniform(k, (3,), jnp.float32) - 0.5) * 1e-4
+            p2 = dataclasses.replace(
+                p, camera=dataclasses.replace(p.camera, pos=p.camera.pos + jit_pos)
+            )
+            l, g = jax.value_and_grad(loss)(p2, k)
+            gsum = sum(jnp.sum(x) for x in jax.tree.leaves(g))
+            return acc + l + 1e-30 * gsum, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+        return acc
+
+    vg = jax.jit(many)
+    keys = jax.random.split(key, STEPS_PER_CALL)
+    l0 = vg(packed, keys)
+    assert np.isfinite(float(l0))
+
+    times = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        float(vg(packed, jax.random.split(jax.random.fold_in(key, i), STEPS_PER_CALL)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / STEPS_PER_CALL
+
+    camera_paths = w * h * paths
+    print(
+        json.dumps(
+            {
+                "metric": "gi_grad_paths_per_sec",
+                "value": round(camera_paths / dt, 1),
+                "unit": "camera paths/s (fwd+bwd, NEE, depth 5)",
+                "vs_baseline": None,
+            }
+        )
+    )
+    print(
+        f"# GI fwd+bwd step {dt*1000:.1f} ms at {w}x{h}, {paths} paths/px "
+        f"({camera_paths/1e6:.1f}M camera paths/frame)",
+        file=sys.stderr,
+    )
+
+
 def main_grad(w=640, h=480, steps_per_call=8):
     """Secondary metric (BASELINE.md): grad-rays/s — traced rays per second
     for a full value_and_grad step (forward + backward through the whole
@@ -459,10 +552,16 @@ if __name__ == "__main__":
         w, h = 640, 480
         if "--size" in sys.argv:
             w, h = map(int, sys.argv[sys.argv.index("--size") + 1].split("x"))
-        steps = 8 if w * h <= 640 * 480 else 4
-        if "--steps" in sys.argv:
-            steps = int(sys.argv[sys.argv.index("--steps") + 1])
-        main_grad(w, h, steps)
+        if "--gi" in sys.argv:
+            steps = 4 if w * h <= 640 * 480 else 1
+            if "--steps" in sys.argv:
+                steps = int(sys.argv[sys.argv.index("--steps") + 1])
+            main_grad_gi(w, h, steps)
+        else:
+            steps = 8 if w * h <= 640 * 480 else 4
+            if "--steps" in sys.argv:
+                steps = int(sys.argv[sys.argv.index("--steps") + 1])
+            main_grad(w, h, steps)
     elif "--sharded" in sys.argv:
         main_sharded()
     elif "--check" in sys.argv:

@@ -45,6 +45,26 @@ class InverseProblem:
     # forward); False keeps static.use_pallas as passed — e.g. to A/B the
     # pinned-discrete gradients against the exact XLA VJP
     auto_pallas: bool = True
+    # True (default): fold the RNG key per step — proper SGD on the
+    # expected loss for stochastic pipelines (DoF/GI), converging to the
+    # MC noise floor.  False: the SAME key every step — the MC render
+    # becomes a smooth deterministic function of the parameters
+    # (correlated-sample inverse rendering), so GI fits recover exactly.
+    resample_keys: bool = True
+    # Per-field multipliers applied to the Adam UPDATES (not the grads —
+    # Adam normalizes grad magnitude away, so scaling grads is a no-op).
+    # Effective per-field step size = learning_rate * scale.  Needed when
+    # trained fields live on wildly different scales: colors are O(1) but
+    # light_power is O(5e4) (lecture4.sdl:24), so a pixel-scale lr would
+    # move it ~0.04/step — frozen for any practical step count.
+    # Keys are train_fields names (camera.* supported).
+    update_scales: Optional[dict] = None
+    # Final-lr fraction for an exponential decay over `steps`.  1.0 (the
+    # default) = constant lr.  With resample_keys the loss is stochastic
+    # (fresh MC noise every step), so constant-lr Adam random-walks around
+    # the optimum at a radius set by lr; decaying to ~5% converges through
+    # the noise floor (standard Robbins-Monro step-size schedule).
+    lr_decay_to: float = 1.0
 
 
 def _mask_grads(grads: ScenePacked, train_fields) -> ScenePacked:
@@ -102,7 +122,14 @@ def fit(
 
         value_and_grad = jax.jit(jax.value_and_grad(loss_fn))
 
-    opt = optax.adam(problem.learning_rate)
+    if problem.lr_decay_to != 1.0:
+        sched = optax.exponential_decay(
+            problem.learning_rate, transition_steps=max(problem.steps, 1),
+            decay_rate=problem.lr_decay_to,
+        )
+        opt = optax.adam(sched)
+    else:
+        opt = optax.adam(problem.learning_rate)
     opt_state = opt.init(packed)
     start = 0
 
@@ -112,16 +139,34 @@ def fit(
         if os.path.exists(problem.checkpoint_path):
             (packed, opt_state), start = load_pytree(problem.checkpoint_path, (packed, opt_state))
 
+    scales = dict(problem.update_scales or {})
+
+    def _scale_updates(updates: ScenePacked) -> ScenePacked:
+        reps = {}
+        cam_scales = {n.split(".", 1)[1]: s for n, s in scales.items() if n.startswith("camera.")}
+        for name, s in scales.items():
+            if not name.startswith("camera."):
+                reps[name] = jax.tree.map(lambda u: u * s, getattr(updates, name))
+        if cam_scales:
+            cam = updates.camera
+            reps["camera"] = dataclasses.replace(
+                cam,
+                **{n: jax.tree.map(lambda u: u * s, getattr(cam, n)) for n, s in cam_scales.items()},
+            )
+        return dataclasses.replace(updates, **reps) if reps else updates
+
     @jax.jit
     def step(p, opt_state, k):
         loss, grads = value_and_grad(p, k)
         grads = _mask_grads(grads, tuple(problem.train_fields))
         updates, opt_state = opt.update(grads, opt_state, p)
+        updates = _scale_updates(updates)
         return optax.apply_updates(p, updates), opt_state, loss
 
     losses = []
     for i in range(start, problem.steps):
-        packed, opt_state, loss = step(packed, opt_state, jax.random.fold_in(key, i))
+        step_key = jax.random.fold_in(key, i) if problem.resample_keys else key
+        packed, opt_state, loss = step(packed, opt_state, step_key)
         losses.append(float(loss))
         if on_step:
             on_step(i, losses[-1])

@@ -53,6 +53,49 @@ class TestFit:
             float(fitted.light_power[0]), float(packed.light_power[0]), rtol=0.05
         )
 
+    def test_update_scales_mixed_magnitudes(self, data_dir):
+        """Joint recovery of O(1) albedo + O(5e4) light power with ONE
+        pixel-scale lr: per-field update_scales give light_power an
+        Adam step matched to its magnitude (demos/gi_inverse.py relies
+        on this — without it the power moves ~lr/step, i.e. frozen).
+        A Lambert ball supplies the trained albedo while the FIXED
+        checker floor pins the power (training the checker colors too
+        would leave only the power*albedo product observable)."""
+        from chess2rt_tpu.models import types as T
+
+        sc = parse_scene_from_file(str(data_dir / "lecture4.sdl"))
+        sc.settings.frameWidth, sc.settings.frameHeight = 32, 24
+        sc.camera.set_frame_size(32, 24)
+        sc.settings.AAEnabled = False
+        sc.nodes.append(T.Node(
+            name="ball",
+            geometry=T.Sphere(name="b", center=(0.0, 60.0, 150.0), R=40.0),
+            shader=T.Lambert(name="red", color=(0.9, 0.2, 0.1)),
+        ))
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        target = render_frame(packed, static, jax.random.PRNGKey(0))
+        wrong = dataclasses.replace(
+            packed,
+            mat_color=packed.mat_color * 0.4,
+            light_power=packed.light_power * 1.6,
+        )
+        prob = InverseProblem(
+            static=static, target=target,
+            train_fields=("mat_color", "light_power"),
+            learning_rate=4e-2, steps=150,
+            update_scales={"light_power": 1e4},
+        )
+        fitted, losses = fit(wrong, prob)
+        assert losses[-1] < losses[0] * 0.02
+        np.testing.assert_allclose(
+            float(fitted.light_power[0]), float(packed.light_power[0]), rtol=0.05
+        )
+        # the ball's row; other mat_color rows belong to off-screen
+        # Lamberts (zero pixel gradient — unrecoverable by construction)
+        np.testing.assert_allclose(
+            np.asarray(fitted.mat_color[-1]), np.asarray(packed.mat_color[-1]), atol=0.06
+        )
+
     def test_grad_masking_freezes_other_fields(self, setup):
         packed, static, target = setup
         wrong = dataclasses.replace(packed, checker_c2=packed.checker_c2 * 0.5)
