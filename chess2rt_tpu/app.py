@@ -171,6 +171,16 @@ def main(argv=None) -> int:
                          "load, frame timing) to PATH ('-' = stderr)")
     args = ap.parse_args(argv)
 
+    if args.distributed:
+        # multi-host bring-up must precede the first backend-initializing
+        # JAX call (jax.distributed contract); no-op single-process.  The
+        # SAME command on every pod host renders one frame sharded over
+        # every chip of every host (SURVEY.md §5.8; demos/pod_scaling.py
+        # is the scaling-measurement recipe on the same path).
+        from .parallel import distributed
+
+        distributed.initialize_distributed()
+
     from .scene.loader import parse_scene_from_file
     from .utils import structlog
 

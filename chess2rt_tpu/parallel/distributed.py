@@ -40,6 +40,22 @@ def initialize_distributed(
     elif not already:
         try:
             jax.distributed.initialize()  # Cloud TPU auto-detection
+        except RuntimeError as e:
+            # "must be called before any JAX calls": the backend is already
+            # initialized — too late for a multi-host bring-up, which is
+            # fine single-process (the CLI calls us before any JAX op; a
+            # library user who touched JAX first just runs single-process).
+            # Any OTHER RuntimeError (broken coordinator on a real pod)
+            # propagates: silently continuing with a wrong global device
+            # view would corrupt sharding.
+            if "must be called before" not in str(e):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"jax backend already initialized; continuing single-process ({e})",
+                stacklevel=2,
+            )
         except ValueError as e:
             # ValueError = auto-detection found no multi-process environment
             # (the expected single-process case) — continue, but say so.
