@@ -80,8 +80,8 @@ def texel_histogram(sorted_keys, sorted_vals, n_texels: int, interpret: bool = F
         num_scalar_prefetch=2,  # c_start, c_end
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # keys [n_pad] (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vals_t [CH, n_pad] (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # keys [n_pad] (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # vals_t [CH, n_pad] (HBM)
         ],
         # BANDED output layout: row j*CH + ch, column r8 holds
         # dq[ch, j*P + r8] with P = TILE//BAND — the band packing fills
