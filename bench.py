@@ -93,7 +93,11 @@ def main_grad_gi(w=640, h=480, steps_per_call=4, paths=40):
     from chess2rt_tpu.render.pipeline import render_frame
 
     packed, static = build_gi(w, h, paths)
-    static = dataclasses.replace(static, use_pallas=True)
+    # flagship-resolution steps stack paths x bounce-round AD residuals
+    # without path remat (26+ GB at 1080p x 40pp) — see models/packed.py
+    static = dataclasses.replace(
+        static, use_pallas=True, gi_remat_paths=(w * h) >= (1 << 20)
+    )
     key = jax.random.PRNGKey(0)
     target = jnp.zeros((h, w, 3), dtype=jnp.float32)
 

@@ -209,6 +209,12 @@ class SceneStatic:
     # 40pp; per-path dead-round cond-skips beat the launch amortization
     # (a batch runs round r if ANY of its K paths is alive).  Default 1.
     gi_path_batch: Optional[int] = None
+    # Rematerialize each GI path iteration in the backward pass
+    # (jax.checkpoint around the paths_per_pixel scan body): reverse-mode
+    # AD otherwise stacks every bounce round's [n, 3] residuals x
+    # paths_per_pixel, which OOMs the 1080p GI grad step (round 5).  Costs
+    # one extra forward per path in the backward; value-identical.
+    gi_remat_paths: bool = False
     # False stops gradients at the bitmap texel atlas: its VJP is a
     # per-ray scatter-add (slow on TPU); disable when texels aren't being
     # optimized

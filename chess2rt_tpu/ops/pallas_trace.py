@@ -2346,8 +2346,12 @@ def build_gi_renderer(static: SceneStatic, width: int, height: int, interpret: b
                 acc = acc + out.reshape(K, C, 3).sum(axis=0)
                 return (key, acc), None
 
+            # gi_remat_paths: recompute each path's forward in the backward
+            # instead of stacking paths_per_pixel x bounce-round residuals
+            # (the 1080p GI grad step OOMs without it — models/packed.py)
+            body_fn = jax.checkpoint(body) if static.gi_remat_paths else body
             (_, acc), _ = jax.lax.scan(
-                body, (k, jnp.zeros(xx.shape + (3,), dtype=xx.dtype)), None,
+                body_fn, (k, jnp.zeros(xx.shape + (3,), dtype=xx.dtype)), None,
                 length=static.paths_per_pixel // K,
             )
             return acc / static.paths_per_pixel

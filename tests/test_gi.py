@@ -168,6 +168,32 @@ class TestGiNeeExtension:
         out8 = np.asarray(build_gi_renderer(st_b, 16, 12, interpret=True)(packed, key))
         np.testing.assert_allclose(out8, out1, rtol=1e-5, atol=1e-5)
 
+    def test_gi_remat_paths_grads_match(self, data_dir):
+        """gi_remat_paths (the 1080p GI-grad memory knob, round 5) wraps
+        the per-path scan body in jax.checkpoint — value-preserving by
+        construction, so loss must be bit-identical and gradients must
+        agree to refusion-level fp against the non-remat fused path."""
+        sc = _scene(data_dir, w=16, h=12, paths=4)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        static = dataclasses.replace(
+            static, gi_point_light_direct=True, use_pallas=True, interpret_pallas=True
+        )
+
+        def loss(p, st):
+            return (render_frame(p, st, jax.random.PRNGKey(0)) ** 2).mean()
+
+        l0, g0 = jax.value_and_grad(loss)(packed, static)
+        st_r = dataclasses.replace(static, gi_remat_paths=True)
+        l1, g1 = jax.value_and_grad(loss)(packed, st_r)
+        assert float(l0) == float(l1)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size == 0:
+                continue
+            assert np.isfinite(b).all()
+            scale = np.abs(a).max() + 1e-12
+            assert np.abs(a - b).max() / scale < 1e-5
+
     def test_gi_gradients_fused_matches_xla(self, data_dir):
         """Inverse rendering under GI: render_frame is differentiable on
         the path-traced pipeline, and the fused GI renderer's VJP (via the
