@@ -136,7 +136,19 @@ def compute_leaf_pins(packed, static, orig, dir, win, t_pin):
     return gleaf, sel
 
 
-def leaf_pinned_record(packed, static, orig, dir, gleaf, sel, n_pin):
+def _tangent_row(packed, static, i, local3):
+    """World-space tangent frame of a CONSTANT local tangent of node ``i``:
+    ``_norm(local3 @ m_fwd)`` computed on [3] vectors (node.d:45-46).
+    For identity/offset-only nodes this is the local constant itself."""
+    ns = static.nodes[i]
+    v = jnp.asarray(local3, packed.node_offset.dtype)
+    if ns.identity_transform or ns.offset_only:
+        return v
+    w = v @ packed.node_matrix[i]
+    return w * jax.lax.rsqrt(jnp.maximum((w * w).sum(), 1e-30))
+
+
+def leaf_pinned_record(packed, static, orig, dir, gleaf, sel, n_pin, tangents=False):
     """Differentiable winning-hit record reconstructed from the pinned
     (leaf, solution) ids: the closed form of ONE primitive per ray,
     where-selected across the static leaf list.  O(leaves) simple closed
@@ -147,22 +159,43 @@ def leaf_pinned_record(packed, static, orig, dir, gleaf, sel, n_pin):
 
     The CsgDiff eaten-surface normal flip (geometry.d:377-397) is
     recovered by sign-matching against the kernel's saved raw normal
-    ``n_pin`` — piecewise-constant (computed on stop_gradient values)."""
+    ``n_pin`` — piecewise-constant (computed on stop_gradient values).
+
+    ``tangents`` adds the dNdx/dNdy frames for the bump extension — per
+    pinned leaf these are closed forms too (plane/cube: face constants,
+    geometry.d:47-53/:227-228; sphere: the azimuth frame, :110-122).  The
+    CSG diff flip applies to the normal only, never the tangents, exactly
+    like all_hits_expr.  NB: this leaf-pinned form is also the only
+    tangent path that COMPILES on real TPU — the full tangent-carrying
+    traversal (scene_closest(tangents=True)) crashes the XLA TPU fusion
+    pass (SIGILL, demos/bump_probe.py)."""
     leaves, _ = leaf_table(static)
     rec = None
     space = {}
+    keys = ("dist", "normal", "u", "v") + (("dndx", "dndy") if tangents else ())
     for g, (i, kind, k) in enumerate(leaves):
         if i not in space:
             space[i] = _node_space(packed, static, i, orig, dir)
         o_l, d_l, inv_dl, m_inv = space[i]
         if kind == "plane":
             cand = G.plane_closest(packed.plane_y[k], packed.plane_limit[k], o_l, d_l)
+            if tangents:
+                # world-space constants per node (geometry.d:47-53): computed
+                # as [3] vectors THEN broadcast — a broadcast-constant [N,3]
+                # through `@ m` + _norm is the exact op pattern that SIGILLs
+                # the TPU fusion pass (demos/bump_probe.py bisect)
+                cand["dndx"] = jnp.broadcast_to(
+                    _tangent_row(packed, static, i, (1.0, 0.0, 0.0)), o_l.shape
+                )
+                cand["dndy"] = jnp.broadcast_to(
+                    _tangent_row(packed, static, i, (0.0, 0.0, 1.0)), o_l.shape
+                )
         elif kind == "sphere":
             c, r = packed.sphere_center[k], packed.sphere_r[k]
             has, x1, x2 = G._sphere_roots(c, r, o_l, d_l)
             t = jnp.where(sel == 1, x1, x2)
             ok = has & (t >= 0)
-            cand = G._sphere_record(c, r, o_l, d_l, jnp.where(ok, t, 0.0))
+            cand = G._sphere_record(c, r, o_l, d_l, jnp.where(ok, t, 0.0), tangents)
             cand["dist"] = jnp.where(ok, t, INF)
         else:  # cube: static face select by the pinned face id
             faces = G._cube_face_candidates(packed.cube_center[k], packed.cube_side[k], o_l, d_l)
@@ -181,34 +214,55 @@ def leaf_pinned_record(packed, static, orig, dir, gleaf, sel, n_pin):
                     "u": jnp.where(m, faces["u"][..., fi], cand["u"]),
                     "v": jnp.where(m, faces["v"][..., fi], cand["v"]),
                 }
+            if tangents:
+                # tangent quirk (geometry.d:227-228): every face keeps the
+                # projected-space literals dNdx = (1,0,0), dNdy = (0,0,s)
+                # — s selected by the pinned face id, no per-face stacks;
+                # world frames via _tangent_row (see the plane note), with
+                # the per-lane ±1 sign multiplied AFTER the normalize
+                # (s = ±1 commutes with _norm up to its sign)
+                s = jnp.full(sel.shape, G._CUBE_FACES[0][1], o_l.dtype)
+                for fi in range(1, 6):
+                    s = jnp.where(sel == fi, G._CUBE_FACES[fi][1], s)
+                cand["dndx"] = jnp.broadcast_to(
+                    _tangent_row(packed, static, i, (1.0, 0.0, 0.0)), o_l.shape
+                )
+                cand["dndy"] = s[..., None] * _tangent_row(packed, static, i, (0.0, 0.0, 1.0))
         if inv_dl is not None:
             miss = cand["dist"] >= INF
             cand["dist"] = jnp.where(miss, INF, cand["dist"] * inv_dl)
             cand["normal"] = _norm(cand["normal"] @ m_inv.T)
+            if tangents and kind == "sphere":
+                # node.d:45-46: tangents transform by the FORWARD matrix.
+                # Sphere frames are genuinely per-lane so the [N,3] @ [3,3]
+                # is the same safe pattern as the normal transform above;
+                # plane/cube frames are node constants handled per-kind.
+                m_fwd = packed.node_matrix[i]
+                cand["dndx"] = _norm(cand["dndx"] @ m_fwd)
+                cand["dndy"] = _norm(cand["dndy"] @ m_fwd)
         m = gleaf == g
         mv = m[..., None]
         if rec is None:
-            rec = {key: cand[key] for key in ("dist", "normal", "u", "v")}
+            rec = {key: cand[key] for key in keys}
         else:
             rec = {
-                "dist": jnp.where(m, cand["dist"], rec["dist"]),
-                "normal": jnp.where(mv, cand["normal"], rec["normal"]),
-                "u": jnp.where(m, cand["u"], rec["u"]),
-                "v": jnp.where(m, cand["v"], rec["v"]),
+                key: jnp.where(m if cand[key].ndim == m.ndim else mv, cand[key], rec[key])
+                for key in keys
             }
     flip = jnp.where(dot(n_pin, jax.lax.stop_gradient(rec["normal"])) < 0, -1.0, 1.0)
     rec["normal"] = rec["normal"] * flip[..., None]
     return rec
 
 
-def _pinned_record(packed, static, orig, dir, win):
+def _pinned_record(packed, static, orig, dir, win, tangents=False):
     """The winning node's hit record, selected by the PINNED win id instead
     of a running-min compare (mirrors ops/geometry.scene_closest's per-node
     math; the select itself is piecewise-constant, matching the zero
-    gradient the XLA argmin select carries)."""
+    gradient the XLA argmin select carries).  ``tangents`` carries the
+    dNdx/dNdy frames the bump extension perturbs along."""
     rec = None
     for i, ns in enumerate(static.nodes):
-        cand = G.node_closest(packed, ns, i, orig, dir)
+        cand = G.node_closest(packed, ns, i, orig, dir, tangents=tangents)
         if rec is None:
             rec = cand
         else:
@@ -220,6 +274,14 @@ def _pinned_record(packed, static, orig, dir, win):
                 "u": jnp.where(m, cand["u"], rec["u"]),
                 "v": jnp.where(m, cand["v"], rec["v"]),
                 "p": rec["p"],  # unused: the kernel recomputes p from t
+                **(
+                    {
+                        "dndx": jnp.where(mv, cand["dndx"], rec["dndx"]),
+                        "dndy": jnp.where(mv, cand["dndy"], rec["dndy"]),
+                    }
+                    if tangents
+                    else {}
+                ),
             }
     return rec
 
@@ -267,6 +329,7 @@ def reshade(
     vis_list,
     want_hit=False,
     rec_pins=None,
+    bump=False,
 ):
     """Differentiable XLA recompute of the round-0 kernel's float outputs
     given pinned (win, vis).  Input/output contract mirrors
@@ -276,7 +339,13 @@ def reshade(
     ``rec_pins`` = (gleaf, sel, n_pin) switches the winning-record
     recompute from the O(nodes) full scan (_pinned_record) to the
     leaf-pinned closed form (leaf_pinned_record) — same gradients, no CSG
-    re-walk."""
+    re-walk.
+
+    ``bump``: carry dNdx/dNdy tangent frames in the pinned record and
+    perturb the raw normal by the winning node's bump map BEFORE
+    faceforward/lighting (renderer.d:370-372 hook order, same as
+    pipeline._whitted_round) — the fused bump hybrid's shading engine
+    (build_bump_round0)."""
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
     has_refl = REFLECTION in static.shader_kinds_present
     has_refr = REFRACTION in static.shader_kinds_present
@@ -288,9 +357,13 @@ def reshade(
     winc = jnp.maximum(win, 0)
     onehot = S.node_onehot(static, winc)
     if rec_pins is not None:
-        rec = leaf_pinned_record(packed, static, orig, dir, *rec_pins)
+        rec = leaf_pinned_record(packed, static, orig, dir, *rec_pins, tangents=bump)
     else:
-        rec = _pinned_record(packed, static, orig, dir, win)
+        rec = _pinned_record(packed, static, orig, dir, win, tangents=bump)
+    if bump:
+        # perturb the RAW normal (pre-faceforward), exactly where the XLA
+        # wavefront applies the hook (render/pipeline.py _whitted_round)
+        rec = dict(rec, normal=S.apply_bump(packed, static, winc, rec, onehot))
 
     # world hit point from the winning t.  Dead lanes AND knife-edge lanes
     # where the kernel reported a hit the XLA recompute just misses
@@ -605,3 +678,117 @@ def build_diff_round0(
         return f(packed, jnp.asarray(aa_offset, jnp.float32).reshape(2))
 
     return run
+
+
+# --------------------------------------------------------------------------
+# Bump hybrid round-0 (the BumpTexture extension on the fused path)
+# --------------------------------------------------------------------------
+
+
+def build_bump_round0(
+    static: SceneStatic,
+    width: int,
+    height: int,
+    interpret: bool = False,
+    n_rays: int = None,
+    lin_input: bool = False,
+):
+    """Hybrid round-0 for bump scenes, same call shapes / output keys as
+    ``build_diff_round0``: the fused kernel pins the discrete structure
+    (win + per-light vis + winning t/normal — closest-hit AND the shadow
+    any-hit scans stay in VMEM) and a differentiable XLA ``reshade`` with
+    TANGENT-CARRYING leaf-pinned records applies the BumpTexture normal
+    perturbation before lighting (renderer.d:370-372 hook order).
+
+    Why a hybrid and not in-kernel bump: the perturbed normal feeds the
+    in-kernel lighting sums, so the deferred-texel trick cannot compose —
+    and Mosaic has no per-lane vector gather for the bump atlas (the same
+    reason bitmap texels defer to XLA, CLAUDE.md rule 7).  Why not the XLA
+    wavefront: ``scene_closest(tangents=True)`` crashes the XLA TPU
+    compiler outright (fusion-pass SIGILL, demos/bump_probe.py), so this
+    hybrid is ALSO the only path that renders bump scenes on real TPU.
+
+    Differentiable end-to-end without a custom VJP: the kernel runs on
+    stop_gradient inputs and contributes only discrete pins; every float
+    output is recomputed by the XLA reshade, through which camera /
+    geometry / material cotangents flow (the bump atlas itself is
+    stop_gradient by design, ops/shade.apply_bump).
+
+    Divergence caveat vs the XLA wavefront (same class as the custom-VJP
+    discrete-pin caveat above): the kernel's shadow-ray origin offsets
+    along the UNBUMPED faceforward normal, the XLA path's along the bumped
+    one — knife-edge occlusion lanes can disagree by that epsilon."""
+    ray_input = n_rays is not None and not lin_input
+    kern = build_round0_kernel(
+        static, width, height, interpret, n_rays=n_rays,
+        want_hit=True, want_vis=True, lin_input=lin_input,
+    )
+    vis_names = [f"vis{li}" for li in range(static.n_lights)]
+
+    def _hybrid(packed, orig, dir, o):
+        sg = jax.lax.stop_gradient
+        win = o["win"]
+        vis = [o[k] > 0.5 for k in vis_names]
+        t_pin = o["t"]
+        n_pin = jnp.stack([o["nx"], o["ny"], o["nz"]], axis=-1)
+        gleaf, sel = compute_leaf_pins(sg(packed), static, sg(orig), sg(dir), win, t_pin)
+        out = reshade(
+            packed, static, orig, dir, win, vis,
+            rec_pins=(gleaf, sel, n_pin), bump=True,
+        )
+        out["win"] = win
+        return out
+
+    sg = jax.lax.stop_gradient
+
+    if ray_input:
+
+        def run(packed, orig, dir, aa_offset=(0.0, 0.0)):
+            # kernel on stop_gradient inputs: pallas_call has no JVP; the
+            # pins it emits are discrete anyway
+            o = kern(sg(packed), sg(orig), sg(dir))
+            return _hybrid(packed, orig, dir, o)
+
+        return run
+
+    if lin_input:
+
+        def run(packed, lin_base, aa_offset=(0.0, 0.0)):
+            lb = jnp.asarray(lin_base, jnp.float32).reshape(())
+            aa = jnp.asarray(aa_offset, jnp.float32).reshape(2)
+            o = kern(sg(packed), sg(lb), sg(aa))
+            orig, dir = _gen_rays_lin(packed, width, height, aa, lb, n_rays)
+            return _hybrid(packed, orig, dir, o)
+
+        return run
+
+    def run(packed, aa_offset=(0.0, 0.0)):
+        aa = jnp.asarray(aa_offset, jnp.float32).reshape(2)
+        o = kern(sg(packed), sg(aa))
+        orig, dir = _gen_rays(packed, width, height, aa)
+        return _hybrid(packed, orig, dir, o)
+
+    return run
+
+
+def build_trace_round0(
+    static: SceneStatic,
+    width: int,
+    height: int,
+    interpret: bool = False,
+    n_rays: int = None,
+    want_hit: bool = False,
+    lin_input: bool = False,
+):
+    """The fused-path round-0 factory every renderer builds through:
+    ``build_diff_round0`` normally, the bump hybrid when the scene carries
+    bump maps (``want_hit`` callers — the GI renderer — keep the plain
+    kernel: GI ignores bump everywhere, like the oracle's pathtrace)."""
+    if static.has_bump and not want_hit:
+        return build_bump_round0(
+            static, width, height, interpret, n_rays=n_rays, lin_input=lin_input
+        )
+    return build_diff_round0(
+        static, width, height, interpret, n_rays=n_rays,
+        want_hit=want_hit, lin_input=lin_input,
+    )

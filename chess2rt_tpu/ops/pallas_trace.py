@@ -95,8 +95,6 @@ def _supports_scene(static: SceneStatic) -> bool:
         return False  # nothing to scan; the XLA path handles empty scenes
     if static.compensated_raygen:
         return False  # df32 ray-gen is an XLA-path opt-in (ops/camera.py)
-    if static.has_bump:
-        return False  # bump-map extension: XLA path carries tangent frames
     for ns in static.nodes:
         if ns.shader_kind not in (LAMBERT, PHONG, REFLECTION, REFRACTION):
             return False
@@ -1256,7 +1254,7 @@ def build_bounce_finisher(
     8K slabs and silently fell back to full-width XLA rounds, 2.46 s vs
     1.09 s/frame)."""
     from ..render import pipeline as P
-    from .pallas_grad import build_diff_round0
+    from .pallas_grad import build_trace_round0
 
     has_refl = bool({REFLECTION, REFRACTION} & static.shader_kinds_present)
     rounds = (static.max_trace_depth + 1) if has_refl else 1
@@ -1290,7 +1288,7 @@ def build_bounce_finisher(
     )
     if use_pallas_bounce:
         cap = -(-cap // TILE_N) * TILE_N
-        kern_bounce = build_diff_round0(static, width, height, interpret, n_rays=cap)
+        kern_bounce = build_trace_round0(static, width, height, interpret, n_rays=cap)
     if full_bounce or block_bounce or use_pallas_bounce:
         # full-width ray-input kernel: the "full" mode's round driver AND
         # the capacity-overflow fallback of the compacted modes.  The old
@@ -1300,7 +1298,7 @@ def build_bounce_finisher(
         # allocated even when the branch never executes (XLA sizes a cond
         # by the max over branches).  Unrolled kernel rounds keep residuals
         # per-round and well-tiled, and are bit-identical to "full" mode.
-        kern_fullw = build_diff_round0(static, width, height, interpret, n_rays=n)
+        kern_fullw = build_trace_round0(static, width, height, interpret, n_rays=n)
     if block_bounce:
         nblk = n // BOUNCE_BLOCK
         lanes_per_tile = TILE_N // BOUNCE_BLOCK  # cap_blk granularity
@@ -1316,7 +1314,7 @@ def build_bounce_finisher(
             # for unused width.
             cap_blk = -(-nblk // (4 if is_slab else 12))
         cap_blk = max(lanes_per_tile, -(-cap_blk // lanes_per_tile) * lanes_per_tile)
-        kern_blk = build_diff_round0(
+        kern_blk = build_trace_round0(
             static, width, height, interpret, n_rays=cap_blk * BOUNCE_BLOCK
         )
 
@@ -1509,7 +1507,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
     kernel's own discrete decisions pinned (ops/pallas_grad.py), and every
     XLA-side stage (combine, compaction, AA scan) already has a VJP."""
     from ..render import pipeline as P
-    from .pallas_grad import build_diff_round0
+    from .pallas_grad import build_trace_round0
 
     n = width * height
     mc_mode = static.dof or static.stereo
@@ -1543,7 +1541,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
     )
 
     if not chunked and not mc_mode:
-        kern = build_diff_round0(static, width, height, interpret)
+        kern = build_trace_round0(static, width, height, interpret)
         _finish_bounces = build_bounce_finisher(static, width, height, interpret, n)
 
         def render_tap(packed: ScenePacked, aa_offset):
@@ -1581,7 +1579,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         C = -(-static.chunk_pixels // TILE_N) * TILE_N
         S = -(-n // C)
         n_pad = S * C
-        kern_slab = build_diff_round0(static, width, height, interpret, n_rays=C)
+        kern_slab = build_trace_round0(static, width, height, interpret, n_rays=C)
         finish_slab = build_bounce_finisher(
             static, width, height, interpret, C, is_slab=True
         )
@@ -1619,7 +1617,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
             C = -(-static.chunk_pixels // TILE_N) * TILE_N
             S_mc = -(-n // C)
             pad_mc = S_mc * C - n
-            kern_rays = build_diff_round0(static, width, height, interpret, n_rays=C)
+            kern_rays = build_trace_round0(static, width, height, interpret, n_rays=C)
             finish_mc = build_bounce_finisher(
                 static, width, height, interpret, C, is_slab=True
             )
@@ -1646,7 +1644,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
                 return img.reshape(S_mc * C, 3)[:n]
 
         else:
-            kern_rays = build_diff_round0(static, width, height, interpret, n_rays=n)
+            kern_rays = build_trace_round0(static, width, height, interpret, n_rays=n)
             finish_mc = build_bounce_finisher(static, width, height, interpret, n)
 
             def trace_rays(packed, orig, dir):
@@ -1668,7 +1666,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         if aa_mc_fast:
             cap_mc = static.aa_capacity or -(-n // 32)
             cap_mc = max(TILE_N, -(-cap_mc // TILE_N) * TILE_N)
-            kern_aa_mc = build_diff_round0(static, width, height, interpret, n_rays=cap_mc)
+            kern_aa_mc = build_trace_round0(static, width, height, interpret, n_rays=cap_mc)
             finish_aa_mc = build_bounce_finisher(
                 static, width, height, interpret, cap_mc, is_slab=True
             )
@@ -1823,7 +1821,7 @@ def build_flagship_renderer(static: SceneStatic, width: int, height: int, interp
         # (vs 65.7 quirk) — tighten via aa_capacity when the scene allows
         cap_aa = static.aa_capacity or -(-n // 32)
         cap_aa = max(TILE_N, -(-cap_aa // TILE_N) * TILE_N)
-        kern_aa = build_diff_round0(static, width, height, interpret, n_rays=cap_aa)
+        kern_aa = build_trace_round0(static, width, height, interpret, n_rays=cap_aa)
         finish_aa = build_bounce_finisher(
             static, width, height, interpret, cap_aa, is_slab=True
         )
@@ -1966,7 +1964,7 @@ def build_rows_renderer(static: SceneStatic, width: int, height: int,
     Deterministic Whitted scenes only (supports(static), no DoF/stereo/GI
     — the mesh layer keeps the XLA pipeline for MC modes)."""
     from ..render import pipeline as P
-    from .pallas_grad import build_diff_round0
+    from .pallas_grad import build_trace_round0
 
     assert supports(static) and not (static.dof or static.stereo)
     n = n_lanes
@@ -1985,7 +1983,7 @@ def build_rows_renderer(static: SceneStatic, width: int, height: int,
     )
 
     if not chunked:
-        kern = build_diff_round0(static, width, height, interpret, n_rays=n, lin_input=True)
+        kern = build_trace_round0(static, width, height, interpret, n_rays=n, lin_input=True)
         finish = build_bounce_finisher(static, width, height, interpret, n, is_slab=is_slab)
 
         def render_tap(packed, lin_base, aa_offset):
@@ -2029,7 +2027,7 @@ def build_rows_renderer(static: SceneStatic, width: int, height: int,
         C = -(-static.chunk_pixels // TILE_N) * TILE_N
         S = -(-n // C)
         n_pad = S * C
-        kern_slab = build_diff_round0(static, width, height, interpret, n_rays=C, lin_input=True)
+        kern_slab = build_trace_round0(static, width, height, interpret, n_rays=C, lin_input=True)
         finish_slab = build_bounce_finisher(static, width, height, interpret, C, is_slab=True)
 
         def render_tap(packed, lin_base, aa_offset):
@@ -2062,7 +2060,7 @@ def build_rows_renderer(static: SceneStatic, width: int, height: int,
         else:
             cap_aa = -(-n // 32)
         cap_aa = max(TILE_N, -(-cap_aa // TILE_N) * TILE_N)
-        kern_aa = build_diff_round0(static, width, height, interpret, n_rays=cap_aa)
+        kern_aa = build_trace_round0(static, width, height, interpret, n_rays=cap_aa)
         finish_aa = build_bounce_finisher(static, width, height, interpret, cap_aa, is_slab=True)
 
     def rows(packed: ScenePacked, lin_base, mask=None, base=None):
@@ -2165,10 +2163,10 @@ def build_gi_tracer(static: SceneStatic, width: int, height: int,
     render_samples per shard (parallel/mesh.py)."""
     assert supports_gi(static)
     from . import shade as S
-    from .pallas_grad import build_diff_round0
+    from .pallas_grad import build_trace_round0
 
     C = n_lanes
-    kernR = build_diff_round0(static, width, height, interpret, n_rays=K * C, want_hit=True)
+    kernR = build_trace_round0(static, width, height, interpret, n_rays=K * C, want_hit=True)
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
 
     def hit_of(packed, o):

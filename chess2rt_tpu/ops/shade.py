@@ -415,12 +415,18 @@ def apply_bump(packed: ScenePacked, static: SceneStatic, winc, hit, onehot=None)
 # --------------------------------------------------------------------------
 
 
-def shade_direct(packed: ScenePacked, static: SceneStatic, ray_dir, hit, winc):
+def shade_direct(packed: ScenePacked, static: SceneStatic, ray_dir, hit, winc, geom_normal=None):
     """Direct lighting for the whole wavefront in one pass.
 
     Lambert: diffuse * (ambient + sum_lights visible * lightColor/d^2 * cos)
     Phong adds the untinted cos^n specular (shader.d:246-249); the specular
-    term is masked to Phong-shaded rays via a static select chain."""
+    term is masked to Phong-shaded rays via a static select chain.
+
+    ``geom_normal``: the pre-bump GEOMETRIC normal for the shadow-origin
+    offset when the BumpTexture extension perturbed hit["normal"] — bump
+    is a shading-normal trick, visibility rays offset along the geometric
+    surface (matches the fused kernel's in-VMEM shadow scans and the
+    oracle, see oracle/renderer._direct_light)."""
     skind = shader_kind_of(static, winc)
     onehot = node_onehot(static, winc)
     N = faceforward(ray_dir, hit["normal"])
@@ -430,7 +436,8 @@ def shade_direct(packed: ScenePacked, static: SceneStatic, ray_dir, hit, winc):
     lam = jnp.zeros_like(hit["p"])
     spec = jnp.zeros_like(hit["p"]) if has_phong else None
     eps = shadow_eps(ray_dir.dtype)
-    shade_from = hit["p"] + N * eps
+    Ng = N if geom_normal is None else faceforward(ray_dir, geom_normal)
+    shade_from = hit["p"] + Ng * eps
 
     for li in range(static.n_lights):
         lp = packed.light_pos[li]

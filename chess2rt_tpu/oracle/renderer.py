@@ -579,14 +579,21 @@ class OracleRenderer:
 
     # -- shading (shader.d) ------------------------------------------------
 
-    def _direct_light(self, ray_dir, rec: HitRecord, N):
+    def _direct_light(self, ray_dir, rec: HitRecord, N, Ng=None):
         """The summed per-light direct term shared by Lambert and Phong.
         Returns (lambert_contrib, specular_base_terms) where specular terms
-        are per-light (baseLight, cosGamma) pieces for Phong."""
+        are per-light (baseLight, cosGamma) pieces for Phong.
+
+        ``Ng``: the GEOMETRIC faceforward normal for the shadow-ray origin
+        offset when it differs from the shading normal N — the BumpTexture
+        extension's convention: bump perturbs the SHADING normal only,
+        visibility rays offset along the geometric surface (the standard
+        production-renderer choice, and what the fused kernel's in-VMEM
+        shadow scans do — they run before the XLA-side perturbation)."""
         n = ray_dir.shape[0]
         lam = np.zeros((n, 3), dtype=np.float64)
         per_light = []
-        shade_from = rec.p + N * 1e-6
+        shade_from = rec.p + (N if Ng is None else Ng) * 1e-6
         for light in self.scene.lights:
             lp = np.asarray(light.pos, dtype=np.float64)
             lc = np.asarray(light.color, dtype=np.float32) * np.float32(light.power)
@@ -603,8 +610,9 @@ class OracleRenderer:
             per_light.append((vis, base, light_dir))
         return lam, per_light
 
-    def shade(self, shader: T.Shader, ray_dir, depth, rec: HitRecord):
+    def shade(self, shader: T.Shader, ray_dir, depth, rec: HitRecord, geom_normal=None):
         N = vec.faceforward(ray_dir, rec.normal)
+        Ng = None if geom_normal is None else vec.faceforward(ray_dir, geom_normal)
         ambient = np.asarray(self.scene.settings.ambientLightColor, dtype=np.float64)
 
         if isinstance(shader, (T.Lambert, T.Phong)):
@@ -612,7 +620,7 @@ class OracleRenderer:
             diffuse = tex_color(tex, rec.u, rec.v).astype(np.float64) if tex is not None else np.broadcast_to(
                 np.asarray(shader.color, dtype=np.float64), (ray_dir.shape[0], 3)
             )
-            lam, per_light = self._direct_light(ray_dir, rec, N)
+            lam, per_light = self._direct_light(ray_dir, rec, N, Ng)
             light_contrib = ambient + lam
             if isinstance(shader, T.Lambert):
                 return diffuse * light_contrib
@@ -674,10 +682,13 @@ class OracleRenderer:
                 setattr(sub_rec, f, getattr(rec, f)[m])
             sub_rec.dist, sub_rec.u, sub_rec.v = rec.dist[m], rec.u[m], rec.v[m]
             # bump hook site (renderer.d:370-372): no-op for reference
-            # textures, real for the BumpTexture extension
+            # textures, real for the BumpTexture extension.  The geometric
+            # normal is kept for the shadow-origin offset (_direct_light).
+            geom_normal = None
             if node.bumpmap is not None:
+                geom_normal = sub_rec.normal
                 modify_normal(node.bumpmap, sub_rec)
-            out[m] = self.shade(node.shader, dir[m], depth, sub_rec)
+            out[m] = self.shade(node.shader, dir[m], depth, sub_rec, geom_normal)
         return out
 
     def pathtrace(self, orig, dir, depth=0, flags_diffuse=None, multiplier=None):

@@ -176,7 +176,7 @@ def _fused_trace_fns(static: SceneStatic):
     W, H, interp = static.width, static.height, static.interpret_pallas
     trace_fn = gi_trace_fn = None
     if not static.gi_enabled and PT.supports(static):
-        from ..ops.pallas_grad import build_diff_round0
+        from ..ops.pallas_grad import build_trace_round0
 
         cache = {}
 
@@ -187,7 +187,7 @@ def _fused_trace_fns(static: SceneStatic):
                 return trace_whitted(packed, static, o3, d3, st)
             n = int(o3.shape[0])
             if n not in cache:
-                kern = build_diff_round0(static, W, H, interp, n_rays=n)
+                kern = build_trace_round0(static, W, H, interp, n_rays=n)
                 fin = PT.build_bounce_finisher(static, W, H, interp, n, is_slab=True)
                 cache[n] = (kern, fin)
             kern, fin = cache[n]

@@ -68,13 +68,16 @@ def _whitted_round(packed, static, color, atten, alive, orig, dir, recursive, st
     hit, win = G.scene_closest(packed, static, orig, dir, tangents=static.has_bump)
     hitmask = alive & (win >= 0)
     winc = jnp.maximum(win, 0)
+    geom_normal = None
     if static.has_bump:
         # bump hook site (renderer.d:370-372): perturb the winning normal
-        # before shading AND before the continuation spawn below
+        # before shading AND before the continuation spawn below; the
+        # geometric normal is kept for the shadow-origin offset
+        geom_normal = hit["normal"]
         hit = dict(hit, normal=S.apply_bump(packed, static, winc, hit))
     skind = S.shader_kind_of(static, winc)
 
-    direct = S.shade_direct(packed, static, dir, hit, winc)
+    direct = S.shade_direct(packed, static, dir, hit, winc, geom_normal)
     is_direct = (skind == LAMBERT) | (skind == PHONG)
     color = color + atten * jnp.where((hitmask & is_direct)[..., None], direct, 0.0)
     # miss -> environment: black in the reference (environment.d:5-15);

@@ -25,7 +25,7 @@ from chess2rt_tpu.models.packed import pack_scene
 from chess2rt_tpu.ops import geometry as G
 from chess2rt_tpu.oracle import renderer as O
 from chess2rt_tpu.oracle.renderer import render_scene
-from chess2rt_tpu.render.pipeline import render_scene_jax
+from chess2rt_tpu.render.pipeline import render_frame, render_scene_jax
 from chess2rt_tpu.utils.color import srgb_u8
 
 
@@ -45,9 +45,10 @@ def _heightmap():
     return np.repeat(height[..., None], 3, axis=-1)
 
 
-def _scene(bump=True, bump_tex_cls=T.BumpTexture, strength=8.0):
+def _scene(bump=True, bump_tex_cls=T.BumpTexture, strength=8.0, mirror=False):
     """Plane + sphere + transformed cube + CSG-diff node, every tangent
-    case the reference computes."""
+    case the reference computes.  ``mirror`` adds a Reflection-shader
+    sphere so bounce rounds re-shade bump-mapped surfaces."""
     sc = T.Scene()
     sc.settings.frameWidth, sc.settings.frameHeight = 64, 48
     sc.settings.AAEnabled = False
@@ -86,6 +87,12 @@ def _scene(bump=True, bump_tex_cls=T.BumpTexture, strength=8.0):
             right=T.Sphere(name="ds2", center=(60, 40, -15), R=20.0),
         ),
     )
+    if mirror:
+        mir = T.Reflection(name="m", color=(0.9, 0.9, 0.9))
+        sc.shaders.append(mir)
+        g = T.Sphere(name="ms", center=(-15, 30, -45), R=15.0)
+        sc.geometries.append(g)
+        sc.nodes.append(T.Node(name="mirror", geometry=g, shader=mir))
     return sc
 
 
@@ -165,13 +172,70 @@ class TestBumpRender:
         # small slack for future texel-boundary fp drift
         assert (diff <= 1).mean() > 0.995, (diff <= 1).mean()
 
-    def test_pallas_dispatch_excluded(self):
+    def test_pallas_dispatch_included(self):
+        """Bump scenes dispatch to the fused path via the bump HYBRID
+        (ops/pallas_grad.build_bump_round0) — it is also the only path
+        that compiles on real TPU (scene_closest(tangents=True) crashes
+        the XLA TPU fusion pass, demos/bump_probe.py)."""
         from chess2rt_tpu.ops.pallas_trace import supports
 
         _, static = pack_scene(_scene(bump=True), dtype=jnp.float32)
-        assert static.has_bump and not supports(static)
+        assert static.has_bump and supports(static)
         _, static0 = pack_scene(_scene(bump=False), dtype=jnp.float32)
         assert not static0.has_bump and supports(static0)
+
+
+@pytest.mark.slow  # interpret-mode fused kernels: heavy by design
+class TestBumpFused:
+    """The bump HYBRID on the fused path (round-4 VERDICT item 4): the
+    kernel pins (win, vis, t, N) in VMEM, a differentiable XLA reshade
+    with tangent-carrying leaf-pinned records applies the perturbation
+    (ops/pallas_grad.build_bump_round0).  Interpret-mode Pallas on CPU."""
+
+    def _pair(self, mirror=False):
+        packed, static = pack_scene(_scene(bump=True, mirror=mirror), dtype=jnp.float32)
+        st_xla = dataclasses.replace(static, use_pallas=False)
+        st_fus = dataclasses.replace(static, use_pallas=True, interpret_pallas=True)
+        return packed, st_xla, st_fus
+
+    def test_fused_matches_xla(self):
+        packed, st_xla, st_fus = self._pair()
+        key = jax.random.PRNGKey(0)
+        img_x = jax.jit(lambda p, k: render_frame(p, st_xla, k))(packed, key)
+        img_f = jax.jit(lambda p, k: render_frame(p, st_fus, k))(packed, key)
+        np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_x), atol=2e-5)
+
+    def test_fused_matches_xla_with_bounces(self):
+        """Mirror sphere: bounce rounds re-enter the hybrid (ray-input
+        form) and re-shade bump-mapped surfaces in the reflection."""
+        packed, st_xla, st_fus = self._pair(mirror=True)
+        key = jax.random.PRNGKey(0)
+        img_x = np.asarray(jax.jit(lambda p, k: render_frame(p, st_xla, k))(packed, key))
+        img_f = np.asarray(jax.jit(lambda p, k: render_frame(p, st_fus, k))(packed, key))
+        # knife-edge tolerance: the mirror's curved reflection of bump
+        # knife edges may pin a different texel on isolated lanes
+        close = np.isclose(img_f, img_x, atol=2e-5)
+        assert close.mean() > 0.999, close.mean()
+
+    def test_fused_grads_match_xla(self):
+        packed, st_xla, st_fus = self._pair()
+        key = jax.random.PRNGKey(0)
+        tgt = jax.jit(lambda p, k: render_frame(p, st_xla, k))(packed, key) * 0.9
+
+        def loss(st):
+            return lambda p: ((render_frame(p, st, key) - tgt) ** 2).mean()
+
+        gx = jax.jit(jax.grad(loss(st_xla)))(packed)
+        gf = jax.jit(jax.grad(loss(st_fus)))(packed)
+        for name in ("sphere_center", "sphere_r", "cube_center", "node_matrix",
+                     "light_pos", "mat_color", "plane_y", "camera"):
+            vx, vf = getattr(gx, name), getattr(gf, name)
+            if name == "camera":
+                vx, vf = vx.pos, vf.pos
+            vx, vf = np.asarray(vx), np.asarray(vf)
+            assert np.isfinite(vf).all(), name
+            scale = max(np.abs(vx).max(), np.abs(vf).max(), 1e-12)
+            np.testing.assert_allclose(vf, vx, atol=5e-4 * scale, err_msg=name)
 
 
 class TestBumpGrads:
