@@ -181,6 +181,41 @@ class TestFuzzPallasKernel:
             sc.shaders.append(sh)
         return sc
 
+    @pytest.mark.slow  # interpret-mode fused kernels: heavy by design
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_bump_scene_matches_xla(self, seed):
+        """Random scenes with random bump maps: the bump HYBRID
+        (ops/pallas_grad.build_bump_round0 — kernel pins + tangent-carrying
+        leaf-pinned XLA reshade) vs the XLA wavefront anchor, across random
+        primitive mixes, CSG trees, transforms and shader kinds."""
+        import dataclasses
+
+        from chess2rt_tpu.ops.pallas_trace import build_flagship_renderer, supports
+        from chess2rt_tpu.render.pipeline import render_frame
+
+        rng = np.random.default_rng(3000 + seed)
+        sc = self._random_scene(rng)
+        hm = rng.uniform(0, 1, (16, 16)).astype(np.float32)
+        bt = T.BumpTexture(
+            name="bt", scaling=float(rng.uniform(0.2, 2.0)),
+            data=np.repeat(hm[..., None], 3, axis=-1),
+        )
+        bt.strength = float(rng.uniform(1.0, 6.0))
+        sc.textures.append(bt)
+        for node in sc.nodes:
+            if rng.random() < 0.7:
+                node.bumpmap = bt
+        sc.nodes[0].bumpmap = bt  # at least one bump-mapped node
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        assert static.has_bump and supports(static)
+        st = dataclasses.replace(static, bounce_capacity=512)
+        out = np.asarray(build_flagship_renderer(st, 32, 24, interpret=True)(packed))
+        ref = np.asarray(render_frame(packed, st, jax.random.PRNGKey(0)))
+        assert np.isfinite(out).all()
+        d = np.abs(out - ref).max(-1)
+        assert (d > 2e-3).mean() < 0.01, ((d > 2e-3).mean(), d.max())
+        assert np.median(d) < 2e-4
+
     @pytest.mark.parametrize("seed", range(4))
     def test_random_scene_matches_xla(self, seed):
         import dataclasses

@@ -182,6 +182,45 @@ class TestShardedFused:
         self._assert_frames_match(img, ref)
 
     @pytest.mark.slow
+    def test_bump_hybrid_matches_single_chip(self, mesh):
+        """Bump scenes under the mesh: each shard runs the bump HYBRID
+        round-0 (kernel pins + tangent-carrying XLA reshade,
+        ops/pallas_grad.build_bump_round0) through parallel/mesh.py's
+        build_trace_round0 dispatch — same composition contract as the
+        plain fused path."""
+        from chess2rt_tpu.models import types as T
+
+        sc = T.Scene()
+        w, h = 48, 32
+        sc.settings.frameWidth, sc.settings.frameHeight = w, h
+        sc.settings.AAEnabled = False
+        sc.camera = T.Camera(pos=(0, 60, -120), yaw=0, pitch=-15, fov=90)
+        sc.camera.set_frame_size(w, h)
+        sc.lights.append(T.PointLight(pos=(60, 180, -60), color=(1, 1, 1), power=40000))
+        lam = T.Lambert(name="l", color=(0.7, 0.7, 0.7))
+        sc.shaders.append(lam)
+        hh, ww = np.mgrid[0:16, 0:16]
+        height = (0.5 + 0.5 * np.sin(ww * 0.5) * np.cos(hh * 0.4)).astype(np.float32)
+        bt = T.BumpTexture(name="bt", scaling=0.05, data=np.repeat(height[..., None], 3, -1))
+        bt.strength = 6.0
+        sc.textures.append(bt)
+        for name, geom in [
+            ("floor", T.Plane(name="p", y=0, limit=200)),
+            ("ball", T.Sphere(name="s", center=(0, 40, 30), R=30.0)),
+            ("box", T.Cube(name="c", center=(-60, 20, 10), side=30.0)),
+        ]:
+            sc.geometries.append(geom)
+            n = T.Node(name=name, geometry=geom, shader=lam)
+            n.bumpmap = bt
+            sc.nodes.append(n)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        st = dataclasses.replace(static, use_pallas=True, interpret_pallas=True)
+        key = jax.random.PRNGKey(0)
+        img = np.asarray(make_sharded_render_fn(st, mesh)(packed, key))
+        ref = np.asarray(jax.jit(lambda p, k: render_frame(p, st, k))(packed, key))
+        self._assert_frames_match(img, ref)
+
+    @pytest.mark.slow
     def test_adaptive_aa_matches_single_chip_fused(self, fused, mesh):
         """Sharded fused adaptiveAA: sharded base taps, GLOBAL-frame detect,
         lane-compacted taps within each shard."""
