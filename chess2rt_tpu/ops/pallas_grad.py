@@ -346,6 +346,23 @@ def reshade(
     faceforward/lighting (renderer.d:370-372 hook order, same as
     pipeline._whitted_round) — the fused bump hybrid's shading engine
     (build_bump_round0)."""
+    if rec_pins is not None:
+        rec = leaf_pinned_record(packed, static, orig, dir, *rec_pins, tangents=bump)
+    else:
+        rec = _pinned_record(packed, static, orig, dir, win, tangents=bump)
+    return _shade_pinned(
+        packed, static, orig, dir, win, vis_list, rec, want_hit=want_hit, bump=bump
+    )
+
+
+def _shade_pinned(
+    packed, static, orig, dir, win, vis_list, rec,
+    want_hit=False, bump=False, diffuse=None,
+):
+    """The shading half of ``reshade``: direct lighting + continuation +
+    output assembly for a GIVEN winning-hit record.  ``diffuse`` overrides
+    the _diffuse_nobitmap recompute (the bump fast-forward passes the
+    kernel's saved dr/dg/db, which use the identical decomposition)."""
     has_bitmap = TEX_BITMAP in static.tex_kinds_present
     has_refl = REFLECTION in static.shader_kinds_present
     has_refr = REFRACTION in static.shader_kinds_present
@@ -356,10 +373,6 @@ def reshade(
     hitmask = win >= 0
     winc = jnp.maximum(win, 0)
     onehot = S.node_onehot(static, winc)
-    if rec_pins is not None:
-        rec = leaf_pinned_record(packed, static, orig, dir, *rec_pins, tangents=bump)
-    else:
-        rec = _pinned_record(packed, static, orig, dir, win, tangents=bump)
     if bump:
         # perturb the RAW normal (pre-faceforward), exactly where the XLA
         # wavefront applies the hook (render/pipeline.py _whitted_round)
@@ -381,7 +394,8 @@ def reshade(
     N = rec["normal"] * sgn[..., None]
     sfrom = hp + N * EPS_SHADOW
 
-    diffuse = _diffuse_nobitmap(packed, static, winc, rec["u"], rec["v"], onehot)
+    if diffuse is None:
+        diffuse = _diffuse_nobitmap(packed, static, winc, rec["u"], rec["v"], onehot)
 
     # ---- direct lighting, shadow scans replaced by pinned vis bits ------
     L = jnp.broadcast_to(packed.ambient, hp.shape)
@@ -685,6 +699,75 @@ def build_diff_round0(
 # --------------------------------------------------------------------------
 
 
+def reconstruct_tangents(packed, static, winc, n_raw):
+    """dNdx/dNdy of the winning hit reconstructed from the kernel's saved
+    RAW world normal alone — per-node closed forms, NO re-intersection
+    (the bump fast-forward, see build_bump_round0).
+
+    Valid only for bump-mapped nodes whose geometry is a single primitive
+    (_fast_bump_ok): pure-primitive normals never carry the CsgDiff
+    eaten-surface flip, so the local normal (recovered through the
+    forward matrix) determines the frame:
+
+    * plane: the (1,0,0)/(0,0,1) world constants (geometry.d:47-53);
+    * cube:  dNdx = (1,0,0) world const; dNdy = (0,0,s) with s the sign
+             of the winning face — the local normal's single ±1 component
+             (geometry.d:227-228 non-unproject quirk);
+    * sphere: the azimuth frame from the local normal (∝ rel, so the
+             atan2 is scale-invariant; geometry.d:110-122).
+
+    Nodes without a bump map (or CSG nodes, gated out) contribute zeros —
+    apply_bump's `has` mask keeps their normals unchanged.  NaN-free on
+    every lane."""
+    dndx = jnp.zeros_like(n_raw)
+    dndy = jnp.zeros_like(n_raw)
+    for i, ns in enumerate(static.nodes):
+        if ns.bump_idx < 0 or ns.geom[0] == "csg":
+            continue
+        kind = ns.geom[0]
+        full_tr = not (ns.identity_transform or ns.offset_only)
+        if full_tr:
+            m_fwd = packed.node_matrix[i]
+            n_l = _norm(n_raw @ m_fwd.T)  # n_w = _norm(n_l @ m_inv.T) inverted
+        else:
+            n_l = n_raw
+        if kind == "plane":
+            cx = jnp.broadcast_to(
+                _tangent_row(packed, static, i, (1.0, 0.0, 0.0)), n_raw.shape
+            )
+            cy = jnp.broadcast_to(
+                _tangent_row(packed, static, i, (0.0, 0.0, 1.0)), n_raw.shape
+            )
+        elif kind == "cube":
+            s = jnp.sign(n_l.sum(-1))  # the face's ±1 (other comps are 0)
+            cx = jnp.broadcast_to(
+                _tangent_row(packed, static, i, (1.0, 0.0, 0.0)), n_raw.shape
+            )
+            cy = s[..., None] * _tangent_row(packed, static, i, (0.0, 0.0, 1.0))
+        else:  # sphere: same op sequence as _sphere_record's tangent block
+            angle = jnp.arctan2(n_l[..., 2], n_l[..., 0])
+            cx = jnp.stack(
+                [jnp.cos(angle + jnp.pi / 2), jnp.zeros_like(angle),
+                 jnp.sin(angle + jnp.pi / 2)],
+                axis=-1,
+            )
+            cy = jnp.cross(cx, n_l)
+            if full_tr:
+                cx = _norm(cx @ m_fwd)
+                cy = _norm(cy @ m_fwd)
+        mask = (winc == i)[..., None]
+        dndx = jnp.where(mask, cx, dndx)
+        dndy = jnp.where(mask, cy, dndy)
+    return dndx, dndy
+
+
+def _fast_bump_ok(static: SceneStatic) -> bool:
+    """True when every bump-mapped node is a single primitive — the
+    reconstruct_tangents precondition (CSG winners may carry the diff
+    flip, which makes the frame unrecoverable from the normal alone)."""
+    return all(ns.geom[0] != "csg" for ns in static.nodes if ns.bump_idx >= 0)
+
+
 def build_bump_round0(
     static: SceneStatic,
     width: int,
@@ -695,10 +778,26 @@ def build_bump_round0(
 ):
     """Hybrid round-0 for bump scenes, same call shapes / output keys as
     ``build_diff_round0``: the fused kernel pins the discrete structure
-    (win + per-light vis + winning t/normal — closest-hit AND the shadow
-    any-hit scans stay in VMEM) and a differentiable XLA ``reshade`` with
-    TANGENT-CARRYING leaf-pinned records applies the BumpTexture normal
-    perturbation before lighting (renderer.d:370-372 hook order).
+    (win + per-light vis + winning t/normal/u/v/diffuse — closest-hit AND
+    the shadow any-hit scans stay in VMEM) and the XLA side applies the
+    BumpTexture normal perturbation before lighting (renderer.d:370-372
+    hook order).
+
+    Two XLA engines, the build_diff_round0 split reapplied:
+
+    * **fast forward** (primal, when _fast_bump_ok): the record comes
+      STRAIGHT from the kernel's saved outputs, tangents reconstructed
+      from the raw normal (reconstruct_tangents) — no leaf
+      re-intersection; only bump + lighting + assembly run in XLA.
+      Measured 55.9 vs 87.0 ms on the 1080p AA5 bump probe (fast-gate
+      scene vs the all-bumped slow-gate scene; bump-off floor 13.2).
+      Grad steps pay ~+0.7 ms vs the plain-reshade forward (the backward
+      re-derives the reshade primal) — the right trade: forward-only
+      rendering is the hot case;
+    * **differentiable reshade** (the custom-VJP backward, and the whole
+      path for scenes with bump-mapped CSG nodes): tangent-carrying
+      leaf-pinned records (leaf_pinned_record(tangents=True)), through
+      which camera/geometry/material cotangents flow.
 
     Why a hybrid and not in-kernel bump: the perturbed normal feeds the
     in-kernel lighting sums, so the deferred-texel trick cannot compose —
@@ -708,65 +807,192 @@ def build_bump_round0(
     compiler outright (fusion-pass SIGILL, demos/bump_probe.py), so this
     hybrid is ALSO the only path that renders bump scenes on real TPU.
 
-    Differentiable end-to-end without a custom VJP: the kernel runs on
-    stop_gradient inputs and contributes only discrete pins; every float
-    output is recomputed by the XLA reshade, through which camera /
-    geometry / material cotangents flow (the bump atlas itself is
-    stop_gradient by design, ops/shade.apply_bump).
-
     Divergence caveat vs the XLA wavefront (same class as the custom-VJP
     discrete-pin caveat above): the kernel's shadow-ray origin offsets
-    along the UNBUMPED faceforward normal, the XLA path's along the bumped
-    one — knife-edge occlusion lanes can disagree by that epsilon."""
+    along the UNBUMPED faceforward normal, the XLA path's along the
+    geometric faceforward normal — identical since the geometric-offset
+    convention (ops/shade.shade_direct) — and knife-edge winner lanes can
+    still disagree at kernel-vs-XLA fp."""
     ray_input = n_rays is not None and not lin_input
     kern = build_round0_kernel(
         static, width, height, interpret, n_rays=n_rays,
         want_hit=True, want_vis=True, lin_input=lin_input,
     )
     vis_names = [f"vis{li}" for li in range(static.n_lights)]
+    sg = jax.lax.stop_gradient
+    fast = _fast_bump_ok(static)
 
-    def _hybrid(packed, orig, dir, o):
-        sg = jax.lax.stop_gradient
+    def _split(o):
         win = o["win"]
         vis = [o[k] > 0.5 for k in vis_names]
         t_pin = o["t"]
         n_pin = jnp.stack([o["nx"], o["ny"], o["nz"]], axis=-1)
-        gleaf, sel = compute_leaf_pins(sg(packed), static, sg(orig), sg(dir), win, t_pin)
+        return win, vis, t_pin, n_pin
+
+    def _diff_out(packed, orig, dir, win, vis, t_pin, n_pin, rp=None):
+        if rp is None:
+            gleaf, sel = compute_leaf_pins(
+                sg(packed), static, sg(orig), sg(dir), win, t_pin
+            )
+            rp = (gleaf, sel, n_pin)
         out = reshade(
-            packed, static, orig, dir, win, vis,
-            rec_pins=(gleaf, sel, n_pin), bump=True,
+            packed, static, orig, dir, win, vis, rec_pins=rp, bump=True
         )
         out["win"] = win
         return out
 
-    sg = jax.lax.stop_gradient
+    def _fast_out(packed, orig, dir, o):
+        win, vis, t_pin, n_pin = _split(o)
+        winc = jnp.maximum(win, 0)
+        rec = {"dist": t_pin, "normal": n_pin, "u": o["u"], "v": o["v"]}
+        rec["dndx"], rec["dndy"] = reconstruct_tangents(packed, static, winc, n_pin)
+        diffuse = jnp.stack([o["dr"], o["dg"], o["db"]], axis=-1)
+        out = _shade_pinned(
+            packed, static, orig, dir, win, vis, rec, bump=True, diffuse=diffuse
+        )
+        out["win"] = win
+        return out
 
+    def _vjp_bump(g, packed, orig, dir, win, vis, t_pin, n_pin):
+        """VJP of the differentiable reshade at the pinned structure
+        (ray-input form; the screen/lin forms inline their ray-gen twin)."""
+        gleaf, sel = compute_leaf_pins(
+            sg(packed), static, sg(orig), sg(dir), win, t_pin
+        )
+        rp = (gleaf, sel, n_pin)
+        gs = {k: v for k, v in g.items() if k != "win"}
+
+        def rf(p, o3, d3):
+            out = _diff_out(p, o3, d3, win, vis, t_pin, n_pin, rp=rp)
+            return {k: v for k, v in out.items() if k != "win"}
+
+        _, vjp = jax.vjp(rf, packed, orig, dir)
+        return vjp(gs)
+
+    if not fast:
+        # bump-mapped CSG nodes: the differentiable reshade IS the forward
+        # (plain XLA, no custom VJP needed — the kernel runs on
+        # stop_gradient inputs and contributes only discrete pins)
+        if ray_input:
+
+            def run(packed, orig, dir, aa_offset=(0.0, 0.0)):
+                o = kern(sg(packed), sg(orig), sg(dir))
+                return _diff_out(packed, orig, dir, *_split(o))
+
+            return run
+
+        if lin_input:
+
+            def run(packed, lin_base, aa_offset=(0.0, 0.0)):
+                lb = jnp.asarray(lin_base, jnp.float32).reshape(())
+                aa = jnp.asarray(aa_offset, jnp.float32).reshape(2)
+                o = kern(sg(packed), sg(lb), sg(aa))
+                orig, dir = _gen_rays_lin(packed, width, height, aa, lb, n_rays)
+                return _diff_out(packed, orig, dir, *_split(o))
+
+            return run
+
+        def run(packed, aa_offset=(0.0, 0.0)):
+            aa = jnp.asarray(aa_offset, jnp.float32).reshape(2)
+            o = kern(sg(packed), sg(aa))
+            orig, dir = _gen_rays(packed, width, height, aa)
+            return _diff_out(packed, orig, dir, *_split(o))
+
+        return run
+
+    # fast path: record from the kernel in the primal, reshade in the VJP
     if ray_input:
 
-        def run(packed, orig, dir, aa_offset=(0.0, 0.0)):
-            # kernel on stop_gradient inputs: pallas_call has no JVP; the
-            # pins it emits are discrete anyway
+        @jax.custom_vjp
+        def f(packed, orig, dir):
             o = kern(sg(packed), sg(orig), sg(dir))
-            return _hybrid(packed, orig, dir, o)
+            return _fast_out(packed, orig, dir, o)
+
+        def f_fwd(packed, orig, dir):
+            o = kern(sg(packed), sg(orig), sg(dir))
+            return _fast_out(packed, orig, dir, o), (packed, orig, dir, _split(o))
+
+        def f_bwd(res, g):
+            packed, orig, dir, (win, vis, t_pin, n_pin) = res
+            return _vjp_bump(g, packed, orig, dir, win, vis, t_pin, n_pin)
+
+        f.defvjp(f_fwd, f_bwd)
+
+        def run(packed, orig, dir, aa_offset=(0.0, 0.0)):
+            return f(packed, orig, dir)
 
         return run
 
     if lin_input:
 
+        @jax.custom_vjp
+        def f(packed, lin_base, aa):
+            o = kern(sg(packed), sg(lin_base), sg(aa))
+            orig, dir = _gen_rays_lin(sg(packed), width, height, sg(aa), lin_base, n_rays)
+            return _fast_out(packed, orig, dir, o)
+
+        def f_fwd(packed, lin_base, aa):
+            o = kern(sg(packed), sg(lin_base), sg(aa))
+            so, sd = _gen_rays_lin(sg(packed), width, height, sg(aa), lin_base, n_rays)
+            return _fast_out(packed, so, sd, o), (packed, lin_base, aa, _split(o))
+
+        def f_bwd(res, g):
+            packed, lin_base, aa, (win, vis, t_pin, n_pin) = res
+            so, sd = _gen_rays_lin(sg(packed), width, height, sg(aa), lin_base, n_rays)
+            gleaf, sel = compute_leaf_pins(sg(packed), static, so, sd, win, t_pin)
+            rp = (gleaf, sel, n_pin)
+            gs = {k: v for k, v in g.items() if k != "win"}
+
+            def rf(p, a):
+                orig, dir = _gen_rays_lin(p, width, height, a, lin_base, n_rays)
+                out = _diff_out(p, orig, dir, win, vis, t_pin, n_pin, rp=rp)
+                return {k: v for k, v in out.items() if k != "win"}
+
+            _, vjp = jax.vjp(rf, packed, aa)
+            gp, ga = vjp(gs)
+            return gp, jnp.zeros((), jnp.float32), ga
+
+        f.defvjp(f_fwd, f_bwd)
+
         def run(packed, lin_base, aa_offset=(0.0, 0.0)):
-            lb = jnp.asarray(lin_base, jnp.float32).reshape(())
-            aa = jnp.asarray(aa_offset, jnp.float32).reshape(2)
-            o = kern(sg(packed), sg(lb), sg(aa))
-            orig, dir = _gen_rays_lin(packed, width, height, aa, lb, n_rays)
-            return _hybrid(packed, orig, dir, o)
+            return f(
+                packed,
+                jnp.asarray(lin_base, jnp.float32).reshape(()),
+                jnp.asarray(aa_offset, jnp.float32).reshape(2),
+            )
 
         return run
 
-    def run(packed, aa_offset=(0.0, 0.0)):
-        aa = jnp.asarray(aa_offset, jnp.float32).reshape(2)
+    @jax.custom_vjp
+    def f(packed, aa):
         o = kern(sg(packed), sg(aa))
-        orig, dir = _gen_rays(packed, width, height, aa)
-        return _hybrid(packed, orig, dir, o)
+        orig, dir = _gen_rays(sg(packed), width, height, sg(aa))
+        return _fast_out(packed, orig, dir, o)
+
+    def f_fwd(packed, aa):
+        o = kern(sg(packed), sg(aa))
+        so, sd = _gen_rays(sg(packed), width, height, sg(aa))
+        return _fast_out(packed, so, sd, o), (packed, aa, _split(o))
+
+    def f_bwd(res, g):
+        packed, aa, (win, vis, t_pin, n_pin) = res
+        so, sd = _gen_rays(sg(packed), width, height, sg(aa))
+        gleaf, sel = compute_leaf_pins(sg(packed), static, so, sd, win, t_pin)
+        rp = (gleaf, sel, n_pin)
+        gs = {k: v for k, v in g.items() if k != "win"}
+
+        def rf(p, a):
+            orig, dir = _gen_rays(p, width, height, a)
+            out = _diff_out(p, orig, dir, win, vis, t_pin, n_pin, rp=rp)
+            return {k: v for k, v in out.items() if k != "win"}
+
+        _, vjp = jax.vjp(rf, packed, aa)
+        return vjp(gs)
+
+    f.defvjp(f_fwd, f_bwd)
+
+    def run(packed, aa_offset=(0.0, 0.0)):
+        return f(packed, jnp.asarray(aa_offset, jnp.float32).reshape(2))
 
     return run
 

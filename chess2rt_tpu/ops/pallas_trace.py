@@ -660,7 +660,10 @@ def _node_builders(p, static, off, expr_tables):
     # ---- per-node closest hit with transforms (node.d:23-68) ------
     def node_closest(i, ox, oy, oz, dx, dy, dz):
         ns = static.nodes[i]
-        needs_uv = ns.tex_kind != TEX_NONE
+        # bump-mapped nodes need UVs too: the bump hybrid's fast forward
+        # samples the derivative atlas at the kernel's saved u/v
+        # (pallas_grad.build_bump_round0)
+        needs_uv = ns.tex_kind != TEX_NONE or ns.bump_idx >= 0
         expr = expr_tables[i]
         if ns.identity_transform:
             return expr_closest(expr, ox, oy, oz, dx, dy, dz, needs_uv)
@@ -730,7 +733,7 @@ def _node_builders(p, static, off, expr_tables):
         d = expr_min_dist(expr, cox, coy, coz, cdx * inv_dl, cdy * inv_dl, cdz * inv_dl)
         return jnp.where(d >= INF, INF, d * inv_dl)
 
-    any_uv = any(ns.tex_kind != TEX_NONE for ns in static.nodes)
+    any_uv = any(ns.tex_kind != TEX_NONE or ns.bump_idx >= 0 for ns in static.nodes)
 
     def scene_scan(ox, oy, oz, dx, dy, dz):
         best = None

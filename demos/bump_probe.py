@@ -64,7 +64,7 @@ def _heightmap():
     return np.repeat(height[..., None], 3, axis=-1)
 
 
-def build(width, height, bump=True):
+def build(width, height, bump=True, csg_bump=True):
     sc = T.Scene()
     sc.settings.frameWidth, sc.settings.frameHeight = width, height
     sc.settings.AAEnabled = True
@@ -78,12 +78,12 @@ def build(width, height, bump=True):
     bt.strength = 8.0
     sc.textures.append(bt)
 
-    def node(name, geom, transform=None):
+    def node(name, geom, transform=None, bumped=True):
         sc.geometries.append(geom)
         n = T.Node(name=name, geometry=geom, shader=lam)
         if transform:
             transform(n.transform)
-        if bump:
+        if bump and bumped:
             n.bumpmap = bt
         sc.nodes.append(n)
 
@@ -101,6 +101,7 @@ def build(width, height, bump=True):
             left=T.Sphere(name="ds", center=(60, 25, 0), R=25.0),
             right=T.Sphere(name="ds2", center=(60, 40, -15), R=20.0),
         ),
+        bumped=csg_bump,
     )
     return pack_scene(sc, dtype=jnp.float32)
 
@@ -163,8 +164,12 @@ def main():
     print(f"# devices: {jax.devices()}", file=sys.stderr)
     results = {}
     for cfg in args.configs:
+        # "bumpfast_*": the CSG node is NOT bump-mapped, so the hybrid
+        # takes its FAST forward (record straight from the kernel,
+        # pallas_grad._fast_bump_ok); plain "bump_*" bump-maps everything
+        # incl. the CSG node -> the differentiable-reshade forward
         bump = cfg.startswith("bump")
-        packed, static = build(w, h, bump=bump)
+        packed, static = build(w, h, bump=bump, csg_bump=not cfg.startswith("bumpfast"))
         static = dataclasses.replace(
             static,
             use_pallas=cfg.endswith("fused"),

@@ -45,10 +45,13 @@ def _heightmap():
     return np.repeat(height[..., None], 3, axis=-1)
 
 
-def _scene(bump=True, bump_tex_cls=T.BumpTexture, strength=8.0, mirror=False):
+def _scene(bump=True, bump_tex_cls=T.BumpTexture, strength=8.0, mirror=False,
+           bump_csg=True):
     """Plane + sphere + transformed cube + CSG-diff node, every tangent
     case the reference computes.  ``mirror`` adds a Reflection-shader
-    sphere so bounce rounds re-shade bump-mapped surfaces."""
+    sphere so bounce rounds re-shade bump-mapped surfaces.  ``bump_csg``
+    False leaves the CSG node un-bumped — the fused hybrid's FAST-forward
+    precondition (pallas_grad._fast_bump_ok)."""
     sc = T.Scene()
     sc.settings.frameWidth, sc.settings.frameHeight = 64, 48
     sc.settings.AAEnabled = False
@@ -86,6 +89,7 @@ def _scene(bump=True, bump_tex_cls=T.BumpTexture, strength=8.0, mirror=False):
             left=T.Sphere(name="ds", center=(60, 25, 0), R=25.0),
             right=T.Sphere(name="ds2", center=(60, 40, -15), R=20.0),
         ),
+        bumped=bump_csg,
     )
     if mirror:
         mir = T.Reflection(name="m", color=(0.9, 0.9, 0.9))
@@ -192,18 +196,30 @@ class TestBumpFused:
     with tangent-carrying leaf-pinned records applies the perturbation
     (ops/pallas_grad.build_bump_round0).  Interpret-mode Pallas on CPU."""
 
-    def _pair(self, mirror=False):
-        packed, static = pack_scene(_scene(bump=True, mirror=mirror), dtype=jnp.float32)
+    def _pair(self, mirror=False, bump_csg=True):
+        packed, static = pack_scene(
+            _scene(bump=True, mirror=mirror, bump_csg=bump_csg), dtype=jnp.float32
+        )
         st_xla = dataclasses.replace(static, use_pallas=False)
         st_fus = dataclasses.replace(static, use_pallas=True, interpret_pallas=True)
         return packed, st_xla, st_fus
 
-    def test_fused_matches_xla(self):
-        packed, st_xla, st_fus = self._pair()
+    @pytest.mark.parametrize("bump_csg", [True, False])
+    def test_fused_matches_xla(self, bump_csg):
+        """bump_csg=True exercises the differentiable-reshade forward
+        (bump-mapped CSG gate), False the FAST kernel-record forward
+        (reconstruct_tangents, custom VJP)."""
+        from chess2rt_tpu.ops.pallas_grad import _fast_bump_ok
+
+        packed, st_xla, st_fus = self._pair(bump_csg=bump_csg)
+        assert _fast_bump_ok(st_fus) == (not bump_csg)
         key = jax.random.PRNGKey(0)
         img_x = jax.jit(lambda p, k: render_frame(p, st_xla, k))(packed, key)
         img_f = jax.jit(lambda p, k: render_frame(p, st_fus, k))(packed, key)
-        np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_x), atol=2e-5)
+        # the fast forward shades from the KERNEL's own t (like the
+        # non-bump fused path), one fp class looser than the XLA-t reshade
+        atol = 2e-5 if bump_csg else 1e-4
+        np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_x), atol=atol)
 
     def test_fused_matches_xla_with_bounces(self):
         """Mirror sphere: bounce rounds re-enter the hybrid (ray-input
@@ -217,8 +233,30 @@ class TestBumpFused:
         close = np.isclose(img_f, img_x, atol=2e-5)
         assert close.mean() > 0.999, close.mean()
 
-    def test_fused_grads_match_xla(self):
-        packed, st_xla, st_fus = self._pair()
+    def test_adaptive_aa_composes_with_bump(self):
+        """adaptiveAA's lane-compacted taps re-enter the hybrid at flagged
+        -pixel width — the fused adaptive path must match the XLA adaptive
+        path on a bump scene."""
+        sc = _scene(bump=True)
+        sc.settings.AAEnabled = True
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        st_xla = dataclasses.replace(static, use_pallas=False, aa_adaptive=True)
+        st_fus = dataclasses.replace(
+            static, use_pallas=True, interpret_pallas=True, aa_adaptive=True
+        )
+        key = jax.random.PRNGKey(0)
+        img_x = np.asarray(jax.jit(lambda p, k: render_frame(p, st_xla, k))(packed, key))
+        img_f = np.asarray(jax.jit(lambda p, k: render_frame(p, st_fus, k))(packed, key))
+        close = np.isclose(img_f, img_x, atol=2e-5)
+        assert close.mean() > 0.999, close.mean()
+        # the mask must actually bite vs the non-AA base
+        st_base = dataclasses.replace(st_fus, aa_enabled=False)
+        base = np.asarray(jax.jit(lambda p, k: render_frame(p, st_base, k))(packed, key))
+        assert (img_f != base).any()
+
+    @pytest.mark.parametrize("bump_csg", [True, False])
+    def test_fused_grads_match_xla(self, bump_csg):
+        packed, st_xla, st_fus = self._pair(bump_csg=bump_csg)
         key = jax.random.PRNGKey(0)
         tgt = jax.jit(lambda p, k: render_frame(p, st_xla, k))(packed, key) * 0.9
 
@@ -235,7 +273,10 @@ class TestBumpFused:
             vx, vf = np.asarray(vx), np.asarray(vf)
             assert np.isfinite(vf).all(), name
             scale = max(np.abs(vx).max(), np.abs(vf).max(), 1e-12)
-            np.testing.assert_allclose(vf, vx, atol=5e-4 * scale, err_msg=name)
+            # fast-forward primals differ from XLA at kernel-t fp, so the
+            # (image - target) residual feeding the VJP does too
+            tol = (5e-4 if bump_csg else 2e-3) * scale
+            np.testing.assert_allclose(vf, vx, atol=tol, err_msg=name)
 
 
 class TestBumpGrads:
