@@ -829,12 +829,21 @@ def build_bump_round0(
         n_pin = jnp.stack([o["nx"], o["ny"], o["nz"]], axis=-1)
         return win, vis, t_pin, n_pin
 
+    def _pins_sg(packed, so, sd, win, t_pin, n_pin):
+        """Leaf pins on stop-gradient values (one definition for every
+        input form's backward — the forward/backward plumbing below must
+        never drift between forms)."""
+        gleaf, sel = compute_leaf_pins(
+            sg(packed), static, sg(so), sg(sd), win, t_pin
+        )
+        return (gleaf, sel, n_pin)
+
+    def _strip_win(g_or_out):
+        return {k: v for k, v in g_or_out.items() if k != "win"}
+
     def _diff_out(packed, orig, dir, win, vis, t_pin, n_pin, rp=None):
         if rp is None:
-            gleaf, sel = compute_leaf_pins(
-                sg(packed), static, sg(orig), sg(dir), win, t_pin
-            )
-            rp = (gleaf, sel, n_pin)
+            rp = _pins_sg(packed, orig, dir, win, t_pin, n_pin)
         out = reshade(
             packed, static, orig, dir, win, vis, rec_pins=rp, bump=True
         )
@@ -856,18 +865,13 @@ def build_bump_round0(
     def _vjp_bump(g, packed, orig, dir, win, vis, t_pin, n_pin):
         """VJP of the differentiable reshade at the pinned structure
         (ray-input form; the screen/lin forms inline their ray-gen twin)."""
-        gleaf, sel = compute_leaf_pins(
-            sg(packed), static, sg(orig), sg(dir), win, t_pin
-        )
-        rp = (gleaf, sel, n_pin)
-        gs = {k: v for k, v in g.items() if k != "win"}
+        rp = _pins_sg(packed, orig, dir, win, t_pin, n_pin)
 
         def rf(p, o3, d3):
-            out = _diff_out(p, o3, d3, win, vis, t_pin, n_pin, rp=rp)
-            return {k: v for k, v in out.items() if k != "win"}
+            return _strip_win(_diff_out(p, o3, d3, win, vis, t_pin, n_pin, rp=rp))
 
         _, vjp = jax.vjp(rf, packed, orig, dir)
-        return vjp(gs)
+        return vjp(_strip_win(g))
 
     if not fast:
         # bump-mapped CSG nodes: the differentiable reshade IS the forward
@@ -939,17 +943,14 @@ def build_bump_round0(
         def f_bwd(res, g):
             packed, lin_base, aa, (win, vis, t_pin, n_pin) = res
             so, sd = _gen_rays_lin(sg(packed), width, height, sg(aa), lin_base, n_rays)
-            gleaf, sel = compute_leaf_pins(sg(packed), static, so, sd, win, t_pin)
-            rp = (gleaf, sel, n_pin)
-            gs = {k: v for k, v in g.items() if k != "win"}
+            rp = _pins_sg(packed, so, sd, win, t_pin, n_pin)
 
             def rf(p, a):
                 orig, dir = _gen_rays_lin(p, width, height, a, lin_base, n_rays)
-                out = _diff_out(p, orig, dir, win, vis, t_pin, n_pin, rp=rp)
-                return {k: v for k, v in out.items() if k != "win"}
+                return _strip_win(_diff_out(p, orig, dir, win, vis, t_pin, n_pin, rp=rp))
 
             _, vjp = jax.vjp(rf, packed, aa)
-            gp, ga = vjp(gs)
+            gp, ga = vjp(_strip_win(g))
             return gp, jnp.zeros((), jnp.float32), ga
 
         f.defvjp(f_fwd, f_bwd)
@@ -977,17 +978,14 @@ def build_bump_round0(
     def f_bwd(res, g):
         packed, aa, (win, vis, t_pin, n_pin) = res
         so, sd = _gen_rays(sg(packed), width, height, sg(aa))
-        gleaf, sel = compute_leaf_pins(sg(packed), static, so, sd, win, t_pin)
-        rp = (gleaf, sel, n_pin)
-        gs = {k: v for k, v in g.items() if k != "win"}
+        rp = _pins_sg(packed, so, sd, win, t_pin, n_pin)
 
         def rf(p, a):
             orig, dir = _gen_rays(p, width, height, a)
-            out = _diff_out(p, orig, dir, win, vis, t_pin, n_pin, rp=rp)
-            return {k: v for k, v in out.items() if k != "win"}
+            return _strip_win(_diff_out(p, orig, dir, win, vis, t_pin, n_pin, rp=rp))
 
         _, vjp = jax.vjp(rf, packed, aa)
-        return vjp(gs)
+        return vjp(_strip_win(g))
 
     f.defvjp(f_fwd, f_bwd)
 

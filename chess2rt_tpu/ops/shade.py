@@ -156,6 +156,21 @@ def bilerp_quad(g, p, q):
     )
 
 
+def _quad_row_key(sizes, idx, idx_to_tex, ixi, iyi):
+    """Per-ray row key into a ``_quad_atlas_flat`` table:
+    ``base[t] + iy*w + ix`` with base the per-texture h*w prefix sums.
+    ``idx`` is the per-lane select index, ``idx_to_tex`` the static
+    texture id for each of its values.  Shared by the bitmap texel plan
+    and the bump derivative sampler so the two quad-gather paths cannot
+    drift."""
+    bases = [0]
+    for hh, wwid in sizes:
+        bases.append(bases[-1] + hh * wwid)
+    base = static_select(idx, [bases[t] for t in idx_to_tex])
+    wi = static_select(idx, [sizes[t][1] if sizes else 1 for t in idx_to_tex])
+    return base + iyi * wi + ixi
+
+
 def bitmap_plan(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=None):
     """Bilinear bitmap sample PLAN: -> (quads2d, key, p, q) where quads2d is
     the flat quad table [rows, 12], key the per-ray flat row index, and
@@ -195,15 +210,10 @@ def bitmap_plan(packed: ScenePacked, static: SceneStatic, winc, u, v, onehot=Non
     # row count is what gates the u16 fast-gather zone (ops/fastgather.py),
     # and lecture5's padded table is 640k rows vs 385k true texels.
     quads2d = _quad_atlas_flat(atlas, static.bitmap_sizes)
-    sizes = static.bitmap_sizes
-    bases = [0]
-    for hh, wwid in sizes:
-        bases.append(bases[-1] + hh * wwid)
-    base = static_select(winc, [bases[max(n.bitmap_idx, 0)] for n in static.nodes])
-    wi = static_select(
-        winc, [sizes[max(n.bitmap_idx, 0)][1] if sizes else 1 for n in static.nodes]
+    key = _quad_row_key(
+        static.bitmap_sizes, winc,
+        [max(n.bitmap_idx, 0) for n in static.nodes], ixi, iyi,
     )
-    key = base + iyi * wi + ixi
     return quads2d, key, p, q
 
 
@@ -395,13 +405,12 @@ def apply_bump(packed: ScenePacked, static: SceneStatic, winc, hit, onehot=None)
     # stop_gradient atlas -> the non-differentiable raw path is safe.
     atlas = jax.lax.stop_gradient(packed.bump_atlas)
     quads = _quad_atlas_flat(atlas[..., :2], static.bump_sizes)  # [R, 8]
-    bases, acc = [], 0
-    for (sh, sw) in static.bump_sizes:
-        bases.append(acc)
-        acc += sh * sw
     ixi = ix.astype(jnp.int32)
     iyi = iy.astype(jnp.int32)
-    g = row_gather_raw(quads, static_select(b, bases) + iyi * ww + ixi)
+    key = _quad_row_key(
+        static.bump_sizes, b, list(range(len(static.bump_sizes))), ixi, iyi
+    )
+    g = row_gather_raw(quads, key)
     d = (
         g[..., 0:2] * (1 - p) * (1 - q)
         + g[..., 2:4] * p * (1 - q)
