@@ -106,6 +106,83 @@ def build(width, height, bump=True, csg_bump=True):
     return pack_scene(sc, dtype=jnp.float32)
 
 
+def time_stages(packed, static, iters):
+    """Cumulative stage ladder of the bump hybrid's XLA side at ONE tap
+    (AA off): kern (want_hit+want_vis kernel alone) -> rays (+XLA ray
+    twin) -> pins (+compute_leaf_pins) -> record (+tangent-carrying
+    leaf-pinned record) -> reshade (the full differentiable-reshade
+    forward) -> fast (the kernel-record fast forward that ships,
+    pallas_grad._fast_out's structure).  Differences between consecutive
+    rows are the per-stage costs quoted in BASELINE.md's bump row."""
+    from chess2rt_tpu.ops.pallas_grad import (
+        _gen_rays, build_round0_kernel, compute_leaf_pins, leaf_pinned_record,
+        reconstruct_tangents, reshade, _shade_pinned)
+
+    W, H = static.width, static.height
+    kern = build_round0_kernel(static, W, H, want_hit=True, want_vis=True)
+    vis_names = [f"vis{li}" for li in range(static.n_lights)]
+
+    def stage(which):
+        def f(p, keys):
+            def body(acc, k):
+                jit = (jax.random.uniform(k, (3,), jnp.float32) - 0.5) * 1e-4
+                p2 = dataclasses.replace(
+                    p, camera=dataclasses.replace(p.camera, pos=p.camera.pos + jit)
+                )
+                o = kern(p2, (0.0, 0.0))
+                if which == "kern":
+                    return acc + o["t"].sum() + o["r"].sum(), None
+                orig, dir = _gen_rays(p2, W, H, jnp.zeros(2))
+                if which == "rays":
+                    return acc + o["t"].sum() + orig.sum() + dir.sum(), None
+                win = o["win"]
+                winc = jnp.maximum(win, 0)
+                n_pin = jnp.stack([o["nx"], o["ny"], o["nz"]], -1)
+                if which == "fast":
+                    rec = {"dist": o["t"], "normal": n_pin, "u": o["u"], "v": o["v"]}
+                    rec["dndx"], rec["dndy"] = reconstruct_tangents(p2, static, winc, n_pin)
+                    vis = [o[kk] > 0.5 for kk in vis_names]
+                    diffuse = jnp.stack([o["dr"], o["dg"], o["db"]], -1)
+                    out = _shade_pinned(p2, static, orig, dir, win, vis, rec,
+                                        bump=True, diffuse=diffuse)
+                    return acc + sum(v.sum() for v in out.values()), None
+                gleaf, sel = compute_leaf_pins(p2, static, orig, dir, win, o["t"])
+                if which == "pins":
+                    return acc + o["t"].sum() + gleaf.sum() + sel.sum(), None
+                if which == "record":
+                    rec = leaf_pinned_record(p2, static, orig, dir, gleaf, sel,
+                                             n_pin, tangents=True)
+                    return acc + sum(v.sum() for v in rec.values()), None
+                vis = [o[kk] > 0.5 for kk in vis_names]
+                out = reshade(p2, static, orig, dir, win, vis,
+                              rec_pins=(gleaf, sel, n_pin), bump=True)
+                return acc + sum(v.sum() for v in out.values()
+                                 if v.dtype == jnp.float32), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+            return acc
+
+        return jax.jit(f)
+
+    key = jax.random.PRNGKey(0)
+    results = {}
+    for which in ["kern", "rays", "pins", "record", "reshade", "fast"]:
+        fn = stage(which)
+        t0 = time.perf_counter()
+        v = float(fn(packed, jax.random.split(key, iters)))
+        t_first = time.perf_counter() - t0
+        times = []
+        for i in range(REPEATS):
+            t0 = time.perf_counter()
+            float(fn(packed, jax.random.split(jax.random.fold_in(key, i + 1), iters)))
+            times.append(time.perf_counter() - t0)
+        ms = min(times) / iters * 1e3
+        results[which] = round(ms, 2)
+        print(f"{which:8s} {ms:7.1f} ms/frame  (first {t_first:.0f}s, chk {v:.3e})",
+              flush=True)
+    print(json.dumps(results))
+
+
 def time_config(name, packed, static, iters, grad=False):
     def one(p, k):
         # key-jittered camera: every scan iteration renders (LICM rule)
@@ -158,10 +235,18 @@ def main():
     ap.add_argument("--grad", action="store_true",
                     help="time a full value_and_grad step per frame instead "
                          "of the forward render (AA off, like bench --grad)")
+    ap.add_argument("--stages", action="store_true",
+                    help="cumulative per-stage ladder of the hybrid's XLA "
+                         "side at one tap (the BASELINE attribution)")
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
+    if args.stages:
+        packed, static = build(w, h, bump=True, csg_bump=False)
+        static = dataclasses.replace(static, aa_enabled=False)
+        time_stages(packed, static, args.iters)
+        return 0
     results = {}
     for cfg in args.configs:
         # "bumpfast_*": the CSG node is NOT bump-mapped, so the hybrid
