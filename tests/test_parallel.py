@@ -221,6 +221,51 @@ class TestShardedFused:
         self._assert_frames_match(img, ref)
 
     @pytest.mark.slow
+    def test_bump_hybrid_grads_match_single_chip(self, mesh):
+        """Sharded inverse rendering through the bump hybrid: the
+        per-shard backward runs the LIN-INPUT bump custom VJP (the one
+        input form no single-device test reaches) + psum — loss and
+        grads must match the single-device fused VJP."""
+        from chess2rt_tpu.models import types as T
+
+        sc = T.Scene()
+        w, h = 48, 32
+        sc.settings.frameWidth, sc.settings.frameHeight = w, h
+        sc.settings.AAEnabled = False
+        sc.camera = T.Camera(pos=(0, 60, -120), yaw=0, pitch=-15, fov=90)
+        sc.camera.set_frame_size(w, h)
+        sc.lights.append(T.PointLight(pos=(60, 180, -60), color=(1, 1, 1), power=40000))
+        lam = T.Lambert(name="l", color=(0.7, 0.7, 0.7))
+        sc.shaders.append(lam)
+        hh, ww = np.mgrid[0:16, 0:16]
+        height = (0.5 + 0.5 * np.sin(ww * 0.5) * np.cos(hh * 0.4)).astype(np.float32)
+        bt = T.BumpTexture(name="bt", scaling=0.05, data=np.repeat(height[..., None], 3, -1))
+        bt.strength = 6.0
+        sc.textures.append(bt)
+        for name, geom in [
+            ("floor", T.Plane(name="p", y=0, limit=200)),
+            ("ball", T.Sphere(name="s", center=(0, 40, 30), R=30.0)),
+        ]:
+            sc.geometries.append(geom)
+            n = T.Node(name=name, geometry=geom, shader=lam)
+            n.bumpmap = bt
+            sc.nodes.append(n)
+        packed, static = pack_scene(sc, dtype=jnp.float32)
+        st = dataclasses.replace(static, use_pallas=True, interpret_pallas=True)
+        key = jax.random.PRNGKey(0)
+        target = jnp.zeros((h, w, 3))
+        vg = make_sharded_value_and_grad(st, mesh)
+        loss, g = vg(packed, target, key)
+        l1, g1 = jax.jit(jax.value_and_grad(
+            lambda p: ((render_frame(p, st, key) - target) ** 2).mean()
+        ))(packed)
+        np.testing.assert_allclose(float(loss), float(l1), rtol=1e-5)
+        for f in ("light_power", "plane_y", "sphere_center", "mat_color", "bump_strength"):
+            va, vb = np.asarray(getattr(g, f)), np.asarray(getattr(g1, f))
+            scale = max(np.abs(va).max(), np.abs(vb).max(), 1e-12)
+            np.testing.assert_allclose(va, vb, atol=1e-4 * scale, err_msg=f)
+
+    @pytest.mark.slow
     def test_adaptive_aa_matches_single_chip_fused(self, fused, mesh):
         """Sharded fused adaptiveAA: sharded base taps, GLOBAL-frame detect,
         lane-compacted taps within each shard."""
